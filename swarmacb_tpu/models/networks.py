@@ -1,0 +1,363 @@
+"""POCA networks in flax — ML-Agents architecture, TPU-first layout.
+
+Faithful re-implementations (architecture, activation, init math) of the
+reference's torch modules (poca_networks.py), with the one structural
+change that matters on TPU: ``POCACritic.all_baselines`` builds its N
+counterfactual entity sets with a diagonal *swap* (one ``where`` against an
+eye mask) instead of the reference's boolean-mask reshape gather
+(poca_networks.py:619-625) — identical entity sets, no dynamic gather, and
+the resulting (B·N, N, h) attention batch maps straight onto the MXU.
+
+Components:
+  LinearEncoder            poca_networks.py:89-119   (Dense+Swish stack)
+  EntityEmbedding          poca_networks.py:129-146  (1-layer, T-Fixup init)
+  Actor (Gaussian)         poca_networks.py:153-209
+  DiscreteActor            poca_networks.py:216-269
+  RecurrentDiscreteActor   poca_networks.py:276-378  (custom LSTM cell with
+                           torch gate order/init)
+  ResidualSelfAttention    poca_networks.py:381-454
+  POCACritic               poca_networks.py:469-635
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import init as inits
+
+Swish = nn.silu  # ML-Agents uses Swish/SiLU, not ELU (poca_networks.py:47-51)
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _dense(features: int, kernel_init, name=None):
+    return nn.Dense(features, kernel_init=kernel_init,
+                    bias_init=nn.initializers.zeros, name=name)
+
+
+class LinearEncoder(nn.Module):
+    """(Dense → Swish) × num_layers. Matches poca_networks.py:89-119."""
+
+    num_layers: int
+    hidden: int
+    kernel_init_name: str = "kaiming_normal"
+    kernel_gain: float = 1.0
+
+    def _init(self):
+        if self.kernel_init_name == "kaiming_normal":
+            return inits.kaiming_normal(self.kernel_gain)
+        if self.kernel_init_name == "normal":
+            return inits.normal_gain(self.kernel_gain)
+        if self.kernel_init_name == "xavier_uniform":
+            return inits.xavier_uniform(self.kernel_gain)
+        raise ValueError(self.kernel_init_name)
+
+    @nn.compact
+    def __call__(self, x):
+        k = self._init()
+        for i in range(self.num_layers):
+            x = Swish(_dense(self.hidden, k, name=f"dense_{i}")(x))
+        return x
+
+
+class EntityEmbedding(nn.Module):
+    """1-layer LinearEncoder with T-Fixup Normal init
+    (poca_networks.py:129-146): gain = (0.125 / embed)^0.5."""
+
+    embed: int
+
+    @nn.compact
+    def __call__(self, entities):
+        gain = (0.125 / self.embed) ** 0.5
+        return LinearEncoder(1, self.embed, "normal", gain, name="encoder")(entities)
+
+
+# ──────────────────────────────────────────────────────────────────────
+#  Actors
+# ──────────────────────────────────────────────────────────────────────
+
+class Actor(nn.Module):
+    """Gaussian actor: Swish MLP body, raw-linear mean (no tanh squash),
+    state-independent log_std. Matches poca_networks.py:153-209."""
+
+    act_dim: int
+    hidden: int = 256
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, obs):
+        h = LinearEncoder(self.num_layers, self.hidden, name="net")(obs)
+        mu = _dense(self.act_dim, inits.kaiming_normal(0.2), name="mu_head")(h)
+        log_std = self.param("log_std", nn.initializers.zeros, (1, self.act_dim))
+        std = jnp.exp(jnp.broadcast_to(log_std, mu.shape))
+        return mu, std
+
+    @staticmethod
+    def log_prob(mu, std, actions):
+        """Per-dimension Gaussian log-prob (NOT summed) — ML-Agents computes
+        the PPO ratio per action dimension (poca_networks.py:196-209)."""
+        var = std**2
+        return -((actions - mu) ** 2) / (2 * var) - jnp.log(std) - 0.5 * _LOG_2PI
+
+    @staticmethod
+    def entropy(std):
+        """Summed-over-dims Gaussian entropy (poca_networks.py:202-208)."""
+        return (0.5 + 0.5 * _LOG_2PI + jnp.log(std)).sum(-1)
+
+    @staticmethod
+    def sample(key, mu, std):
+        return mu + std * jax.random.normal(key, mu.shape)
+
+
+class DiscreteActor(nn.Module):
+    """Single-branch categorical actor. Matches poca_networks.py:216-269."""
+
+    num_actions: int
+    hidden: int = 256
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, obs):
+        h = LinearEncoder(self.num_layers, self.hidden, name="net")(obs)
+        return _dense(self.num_actions, inits.kaiming_normal(0.2), name="logits_head")(h)
+
+    @staticmethod
+    def log_prob(logits, actions):
+        """(…,) log-prob of integer actions under the categorical."""
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.take_along_axis(logp, actions[..., None].astype(jnp.int32), -1)[..., 0]
+
+    @staticmethod
+    def entropy(logits):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        p = jnp.exp(logp)
+        return -(p * logp).sum(-1)
+
+    @staticmethod
+    def sample(key, logits):
+        return jax.random.categorical(key, logits, axis=-1)
+
+
+class LSTMCell(nn.Module):
+    """Torch-layout LSTM cell: stacked (in,4H)/(H,4H) kernels, gate order
+    [i, f, g, o], xavier-uniform input kernel, orthogonal recurrent kernel,
+    zero bias — matching poca_networks.py:298-312."""
+
+    memory: int
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h, c = carry
+        w_ih = self.param("w_ih", inits.lstm_xavier_ih(), (x.shape[-1], 4 * self.memory))
+        w_hh = self.param("w_hh", inits.lstm_orthogonal_hh(), (self.memory, 4 * self.memory))
+        b = self.param("bias", nn.initializers.zeros, (4 * self.memory,))
+        gates = x @ w_ih + h @ w_hh + b
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+
+class RecurrentDiscreteActor(nn.Module):
+    """Categorical actor with LSTM memory (cyclamen).
+    Matches poca_networks.py:276-378."""
+
+    num_actions: int
+    hidden: int = 128
+    num_layers: int = 1
+    memory: int = 128
+
+    def setup(self):
+        self.net = LinearEncoder(self.num_layers, self.hidden, name="net")
+        self.lstm = LSTMCell(self.memory, name="lstm")
+        self.logits_head = _dense(self.num_actions, inits.kaiming_normal(0.2),
+                                  name="logits_head")
+
+    def initial_state(self, batch: int):
+        z = jnp.zeros((batch, self.memory))
+        return (z, z)
+
+    def step(self, obs, carry):
+        """One step: obs (B, obs_dim), carry ((B,M),(B,M)) → (logits, carry)."""
+        enc = self.net(obs)
+        carry, out = self.lstm(carry, enc)
+        return self.logits_head(out), carry
+
+    def __call__(self, obs, carry):
+        return self.step(obs, carry)
+
+    def forward_sequence(self, obs_seq, carry, dones=None):
+        """obs_seq (B, T, obs) → logits (B, T, A).
+
+        When ``dones`` (B, T) is given, the carry is zeroed after any step
+        whose done flag is set — the reference's done-masked BPTT
+        (poca_trainer.py:599-608).
+        """
+        B, T = obs_seq.shape[:2]
+        if dones is None:
+            dones = jnp.zeros((B, T), dtype=obs_seq.dtype)
+
+        def body(carry, xs):
+            obs_t, done_t = xs
+            logits, carry = self.step(obs_t, carry)
+            keep = (1.0 - done_t)[:, None]
+            carry = (carry[0] * keep, carry[1] * keep)
+            return carry, logits
+
+        xs = (jnp.moveaxis(obs_seq, 1, 0), jnp.moveaxis(dones, 1, 0))
+        carry, logits = jax.lax.scan(body, carry, xs)
+        return jnp.moveaxis(logits, 0, 1), carry
+
+
+# ──────────────────────────────────────────────────────────────────────
+#  Residual self-attention + POCA critic
+# ──────────────────────────────────────────────────────────────────────
+
+class ResidualSelfAttention(nn.Module):
+    """Pre-norm residual MHA with masked average pooling over entities.
+
+    Matches poca_networks.py:381-454: non-affine LayerNorms (eps 1e-5),
+    Normal×T-Fixup projections, residual adds the NORMED input, pooled
+    output. Returns (B, embed)."""
+
+    embed: int
+    num_heads: int = 4
+
+    NEG_INF: float = -1e6
+    EPSILON: float = 1e-7
+
+    @nn.compact
+    def __call__(self, inp, key_mask: Optional[jax.Array] = None):
+        B, N, D = inp.shape
+        H = self.num_heads
+        d = D // H
+        gain = (0.125 / D) ** 0.5
+        proj = lambda name: _dense(D, inits.normal_gain(gain), name=name)
+
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-5,
+                            name="embedding_norm")
+        x = norm(inp)
+
+        q = proj("fc_q")(x).reshape(B, N, H, d).transpose(0, 2, 1, 3)
+        k = proj("fc_k")(x).reshape(B, N, H, d).transpose(0, 2, 1, 3)
+        v = proj("fc_v")(x).reshape(B, N, H, d).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) / math.sqrt(d)
+        if key_mask is not None:
+            attn = attn + key_mask[:, None, None, :] * self.NEG_INF
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+        output = proj("fc_out")(out) + x
+        output = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-5,
+                              name="residual_norm")(output)
+
+        if key_mask is not None:
+            valid = (1.0 - key_mask)[..., None]
+            return (output * valid).sum(1) / (valid.sum(1) + self.EPSILON)
+        return output.mean(axis=1)
+
+
+class POCACritic(nn.Module):
+    """Attention-based centralized critic with counterfactual baselines.
+
+    Consumes the 5-D polar STATE, not agent observations
+    (poca_networks.py:469-635). ``max_agents`` replaces the reference's
+    runtime max-tracker param (poca_networks.py:524-535): N is static per
+    run, so the normalized agent count 2n/max − 1 is a compile-time
+    constant (= 1.0 in every reference configuration)."""
+
+    state_dim: int
+    act_dim: int
+    num_agents: int
+    hidden: int = 256
+    num_heads: int = 4
+    num_layers: int = 2
+
+    def setup(self):
+        self.obs_entity_enc = EntityEmbedding(self.hidden, name="obs_entity_enc")
+        self.obs_act_entity_enc = EntityEmbedding(self.hidden, name="obs_act_entity_enc")
+        self.self_attn = ResidualSelfAttention(self.hidden, self.num_heads,
+                                               name="self_attn")
+        t_fixup_gain = (0.125 / self.hidden) ** 0.5
+        self.linear_encoder = LinearEncoder(
+            self.num_layers, self.hidden, "kaiming_normal", t_fixup_gain,
+            name="linear_encoder",
+        )
+        self.value_head = nn.Dense(
+            1,
+            kernel_init=inits.torch_linear_default_kernel(),
+            bias_init=inits.torch_linear_default_bias(self.hidden + 1),
+            name="value_head",
+        )
+
+    @property
+    def max_agents(self) -> int:
+        return self.num_agents
+
+    def _norm_agent_count(self, n: int) -> float:
+        return n * 2.0 / float(self.max_agents) - 1.0
+
+    def _encode_and_value(self, entities, n_agents: int):
+        """Shared tail: RSA → linear encoder → (+norm agent count) → value."""
+        pooled = self.self_attn(entities)
+        encoding = self.linear_encoder(pooled)
+        nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(n_agents),
+                      dtype=encoding.dtype)
+        return self.value_head(jnp.concatenate([encoding, nc], axis=-1))
+
+    def critic_pass(self, all_states):
+        """Team value V(s): (B, N, state_dim) → (B, 1)."""
+        entities = self.obs_entity_enc(all_states)
+        return self._encode_and_value(entities, all_states.shape[1])
+
+    def baseline(self, agent_i_state, other_states, other_actions):
+        """Single counterfactual baseline b_i: agent i state-only + others
+        state+action → (B, 1). Matches poca_networks.py:558-581."""
+        ent_i = self.obs_entity_enc(agent_i_state[:, None, :])
+        state_act = jnp.concatenate([other_states, other_actions], axis=-1)
+        ent_o = self.obs_act_entity_enc(state_act)
+        entities = jnp.concatenate([ent_i, ent_o], axis=1)
+        return self._encode_and_value(entities, entities.shape[1])
+
+    def all_baselines(self, all_states, all_actions):
+        """All N counterfactual baselines in ONE attention pass → (B, N).
+
+        TPU layout: tile the state+action embeddings to (B, N, N, h) and
+        *swap the diagonal* for the state-only embedding — the same entity
+        set as the reference's remove-diagonal-and-prepend construction
+        (poca_networks.py:583-635), which is order-invariant under
+        attention + average pooling.
+        """
+        B, N, _ = all_states.shape
+        obs_emb = self.obs_entity_enc(all_states)                       # (B,N,h)
+        state_act = jnp.concatenate([all_states, all_actions], axis=-1)
+        obs_act_emb = self.obs_act_entity_enc(state_act)                # (B,N,h)
+
+        eye = jnp.eye(N, dtype=bool)[None, :, :, None]                  # (1,N,N,1)
+        tiled_act = jnp.broadcast_to(obs_act_emb[:, None], (B, N, N, self.hidden))
+        tiled_self = jnp.broadcast_to(obs_emb[:, :, None], (B, N, N, self.hidden))
+        entities = jnp.where(eye, tiled_self, tiled_act)                # (B,N,N,h)
+
+        values = self._encode_and_value(
+            entities.reshape(B * N, N, self.hidden), N
+        )                                                               # (B·N,1)
+        return values.reshape(B, N)
+
+    def __call__(self, all_states, all_actions):
+        """Init-friendly entry touching every submodule."""
+        v = self.critic_pass(all_states)
+        b = self.all_baselines(all_states, all_actions)
+        return v, b
