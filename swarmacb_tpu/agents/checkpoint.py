@@ -1,0 +1,108 @@
+"""Checkpointing with orbax — save/restore/rotate.
+
+Replaces the reference's ``torch.save`` dict checkpoints
+(poca_trainer.py:981-1025): same contents (params, optimizer state,
+counters, full architecture metadata so ``play.py`` can rebuild the actor
+without a config) and the same rotation policy (keep the newest
+``keep_checkpoints`` numbered checkpoints; the final checkpoint exempt).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Step-numbered orbax checkpoints under ``cfg.checkpoint_dir``."""
+
+    def __init__(self, directory: str | Path, keep: int = 5):
+        self.dir = Path(directory).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ── save ──────────────────────────────────────────────────────
+    def save(self, trainer, final: bool = False):
+        name = "poca_final" if final else f"poca_{trainer.global_step}"
+        path = self.dir / name
+        payload = {
+            "params": trainer.train_state.params,
+            "opt_state": trainer.train_state.opt_state,
+        }
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()  # orbax saves asynchronously
+        meta = dict(trainer.checkpoint_metadata())
+        meta.update(global_step=trainer.global_step,
+                    update_count=trainer.update_count)
+        (path / "metadata.json").write_text(json.dumps(meta))
+        print(f"[POCA] Saved → {path}")
+        if not final:
+            self._rotate()
+        return path
+
+    def _rotate(self):
+        if self.keep <= 0:
+            return
+        numbered = sorted(
+            (p for p in self.dir.glob("poca_*") if p.is_dir()
+             and p.name != "poca_final"),
+            key=lambda p: p.stat().st_mtime,
+        )
+        while len(numbered) > self.keep:
+            old = numbered.pop(0)
+            import shutil
+
+            shutil.rmtree(old)
+            print(f"[POCA] Removed old checkpoint → {old.name}")
+
+    # ── restore ───────────────────────────────────────────────────
+    @staticmethod
+    def load_metadata(path: str | Path) -> dict:
+        return json.loads((Path(path).absolute() / "metadata.json").read_text())
+
+    def restore(self, path: str | Path, trainer):
+        """Restore params/opt_state/counters into a built trainer
+        (poca_trainer.py:1002-1009)."""
+        path = Path(path).absolute()
+        target = {
+            "params": trainer.train_state.params,
+            "opt_state": trainer.train_state.opt_state,
+        }
+        restored = self._ckptr.restore(
+            path, jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+        )
+        trainer.train_state = type(trainer.train_state)(
+            params=restored["params"], opt_state=restored["opt_state"]
+        )
+        meta = self.load_metadata(path)
+        trainer.global_step = int(meta["global_step"])
+        trainer.update_count = int(meta["update_count"])
+        print(f"[POCA] Loaded ← {path}  (step {trainer.global_step})")
+        return meta
+
+    @staticmethod
+    def restore_params(path: str | Path, abstract_params):
+        """Restore just the params tree (for play/eval)."""
+        path = Path(path).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            path,
+            {
+                "params": jax.tree_util.tree_map(
+                    ocp.utils.to_shape_dtype_struct, abstract_params
+                )
+            },
+            strict=False,
+        )
+        return restored["params"]
+
+    def latest(self) -> Path | None:
+        numbered = sorted(
+            (p for p in self.dir.glob("poca_*") if p.is_dir()),
+            key=lambda p: p.stat().st_mtime,
+        )
+        return numbered[-1] if numbered else None

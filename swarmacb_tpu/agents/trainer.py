@@ -1,0 +1,723 @@
+"""POCA trainer — fully on-device rollout + update, one jitted program.
+
+The TPU-native redesign of the reference trainer (poca_trainer.py): where
+the reference runs a 1000-iteration Python loop dispatching one CUDA op at
+a time (SURVEY.md §3.1 "hot loops"), here the whole rollout is a
+``lax.scan`` over the horizon fused with the policy/critic forwards, and
+the PPO update is a scan over epochs × minibatches — a single XLA program
+per outer iteration, with donated buffers. The outer Python loop only does
+logging, checkpointing and schedule evaluation.
+
+Algorithm parity with ML-Agents POCA (all reference-cited):
+  - counterfactual baselines from the critic every step (poca_trainer.py:449-455)
+  - continuous env-action preprocessing clamp(−3,3)/3, raw actions stored
+    (poca_trainer.py:457-467)
+  - decision_period sub-stepping with reward accumulation (poca_trainer.py:469-482)
+  - λ-return advantage = return − baseline (poca_buffer.py:125-154)
+  - advantage normalization before epochs (poca_trainer.py:676-683)
+  - per-dim ratio PPO clip + trust-region value/baseline losses
+    (poca_trainer.py:139-173)
+  - loss = policy + 0.5·(value + 0.5·baseline) − β·entropy, single Adam over
+    actor+critic, eps 1e-8, NO grad clipping (poca_trainer.py:271-274,703-712)
+  - group-minibatch derivation from buffer_size_hint (poca_trainer.py:663-674)
+  - linear schedules with ML-Agents floors (poca_trainer.py:281-287)
+  - recurrent (cyclamen) BPTT over fixed windows with done-masked carry
+    (poca_trainer.py:577-642, poca_buffer.py:190-246)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config.poca_cfg import POCAConfig
+from ..env.directional_gate import DirectionalGateEnv
+from ..models import Actor, DiscreteActor, POCACritic, RecurrentDiscreteActor
+from . import buffer as buf
+from . import losses
+from .buffer import Rollout
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+
+
+class POCATrainer:
+    """End-to-end POCA training on a batched JAX env."""
+
+    STATE_DIM = 5  # critic consumes the 5-D polar state (poca_trainer.py:224-227)
+
+    def __init__(self, env: DirectionalGateEnv, cfg: Optional[POCAConfig] = None,
+                 writer=None):
+        self.env = env
+        self.cfg = cfg or POCAConfig()
+        c = self.cfg
+
+        self.num_envs = env.num_envs
+        self.num_agents = env.num_agents
+        self.obs_dim = env.obs_dim
+        self.discrete = env.cfg.discrete_actions
+        self.num_actions = env.cfg.num_actions
+        self.recurrent = bool(c.recurrent)
+        if self.recurrent and not self.discrete:
+            raise ValueError("Recurrent POCA actor is only implemented for discrete actions")
+
+        if self.discrete:
+            self.act_dim = 1                      # storage dim
+            self.act_dim_critic = self.num_actions
+        else:
+            self.act_dim = env.cfg.act_dim
+            self.act_dim_critic = self.act_dim
+
+        # ── networks ───────────────────────────────────────────────
+        if self.discrete:
+            if self.recurrent:
+                self.actor = RecurrentDiscreteActor(
+                    num_actions=self.num_actions, hidden=c.hidden_dim,
+                    num_layers=c.num_layers, memory=c.memory_size,
+                )
+            else:
+                self.actor = DiscreteActor(
+                    num_actions=self.num_actions, hidden=c.hidden_dim,
+                    num_layers=c.num_layers,
+                )
+        else:
+            self.actor = Actor(act_dim=self.act_dim, hidden=c.hidden_dim,
+                               num_layers=c.num_layers)
+        self.critic = POCACritic(
+            state_dim=self.STATE_DIM, act_dim=self.act_dim_critic,
+            num_agents=self.num_agents, hidden=c.hidden_dim,
+            num_heads=c.critic_num_heads, num_layers=c.num_layers,
+        )
+
+        key = jax.random.PRNGKey(c.seed)
+        key, ka, kc = jax.random.split(key, 3)
+        dummy_obs = jnp.zeros((2, self.obs_dim))
+        if self.recurrent:
+            carry0 = (jnp.zeros((2, c.memory_size)), jnp.zeros((2, c.memory_size)))
+            actor_params = self.actor.init(ka, dummy_obs, carry0,
+                                           method=self.actor.step)["params"]
+        else:
+            actor_params = self.actor.init(ka, dummy_obs)["params"]
+        critic_params = self.critic.init(
+            kc, jnp.zeros((2, self.num_agents, self.STATE_DIM)),
+            jnp.zeros((2, self.num_agents, self.act_dim_critic)),
+        )["params"]
+        params = {"actor": actor_params, "critic": critic_params}
+
+        # single Adam over actor+critic (poca_trainer.py:271-274)
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=c.lr, eps=c.adam_eps,
+        )
+        self.train_state = TrainState(params=params, opt_state=self.tx.init(params))
+
+        # schedules (poca_trainer.py:281-291)
+        self.lr_schedule = losses.make_schedule(c.lr_schedule, c.lr,
+                                                losses.LR_MIN, c.total_timesteps)
+        self.eps_schedule = losses.make_schedule(c.eps_schedule, c.clip_eps,
+                                                 losses.EPS_MIN, c.total_timesteps)
+        self.beta_schedule = losses.make_schedule(c.beta_schedule, c.beta,
+                                                  losses.BETA_MIN, c.total_timesteps)
+
+        # minibatch derivation (poca_trainer.py:663-674)
+        T_E = c.horizon * self.num_envs
+        if c.buffer_size_hint > 0 and c.mini_batch_size > 0:
+            bpe = max(1, c.buffer_size_hint // c.mini_batch_size)
+            self.group_mb = max(1, T_E // bpe)
+        else:
+            self.group_mb = min(c.mini_batch_size, T_E)
+
+        self.global_step = 0
+        self.update_count = 0
+        self.key = key
+        self.writer = writer
+
+        # host-side episode accounting (poca_trainer.py:322-330)
+        self._episode_reward_acc = np.zeros(self.num_envs)
+        self._episode_step_count = np.zeros(self.num_envs)
+        self.completed_episode_returns: list[float] = []
+        self.completed_episode_lengths: list[float] = []
+        self.completed_group_rewards: list[float] = []
+        self._rollout_reward_history: list[float] = []
+        self._max_history = 100
+
+        # jitted programs
+        self._rollout_jit = jax.jit(self._rollout_fn, donate_argnums=(1,))
+        self._update_jit = jax.jit(self._update_fn, donate_argnums=(0,))
+        self._train_iter_jit = jax.jit(self._train_iter_fn, donate_argnums=(0, 1))
+
+    # ──────────────────────────────────────────────────────────────
+    #  helpers
+    # ──────────────────────────────────────────────────────────────
+
+    def _encode_actions_for_critic(self, actions):
+        """One-hot discrete actions for the critic's entity embedding
+        (poca_trainer.py:353-366)."""
+        if self.discrete:
+            idx = actions[..., 0].astype(jnp.int32)
+            return jax.nn.one_hot(idx, self.num_actions, dtype=jnp.float32)
+        return actions
+
+    def init_actor_carry(self):
+        B = self.num_envs * self.num_agents
+        m = self.cfg.memory_size
+        return (jnp.zeros((B, m)), jnp.zeros((B, m)))
+
+    def _apply_actor(self, params, flat_obs, carry):
+        """Returns (dist_params, new_carry)."""
+        if self.recurrent:
+            logits, new_carry = self.actor.apply(
+                {"params": params}, flat_obs, carry, method=self.actor.step
+            )
+            return logits, new_carry
+        if self.discrete:
+            return self.actor.apply({"params": params}, flat_obs), carry
+        return self.actor.apply({"params": params}, flat_obs), carry
+
+    # ──────────────────────────────────────────────────────────────
+    #  rollout (lax.scan over horizon, fully on device)
+    # ──────────────────────────────────────────────────────────────
+
+    def _rollout_fn(self, params, env_state, obs, actor_carry, key):
+        """Collect ``horizon`` decisions. Returns
+        (env_state, obs, actor_carry, key, rollout, bootstrap_value)."""
+        env = self.env
+        E, N = self.num_envs, self.num_agents
+        dp = self.cfg.decision_period
+
+        def step_fn(carry, _):
+            env_state, obs, actor_carry, key = carry
+            key, k_sample = jax.random.split(key)
+            flat_obs = obs.reshape(E * N, self.obs_dim)
+
+            if self.recurrent:
+                mem = self.cfg.memory_size
+                stored_h = actor_carry[0].reshape(E, N, mem)
+                stored_c = actor_carry[1].reshape(E, N, mem)
+            else:
+                stored_h = stored_c = None
+
+            dist_params, new_carry = self._apply_actor(
+                params["actor"], flat_obs, actor_carry
+            )
+            if self.discrete:
+                logits = dist_params
+                act_flat = DiscreteActor.sample(k_sample, logits)      # (E·N,)
+                logp_flat = DiscreteActor.log_prob(logits, act_flat)   # (E·N,)
+                actions = act_flat.reshape(E, N, 1).astype(jnp.float32)
+                log_probs = logp_flat.reshape(E, N, 1)
+                env_actions = act_flat.reshape(E, N).astype(jnp.int32)
+            else:
+                mu, std = dist_params
+                act_flat = Actor.sample(k_sample, mu, std)             # (E·N, A)
+                logp_flat = Actor.log_prob(mu, std, act_flat)
+                actions = act_flat.reshape(E, N, self.act_dim)
+                log_probs = logp_flat.reshape(E, N, self.act_dim)
+                # ML-Agents env preprocessing clamp(−3,3)/3; buffer keeps RAW
+                # actions (poca_trainer.py:457-467)
+                env_actions = jnp.clip(actions, -3.0, 3.0) / 3.0
+
+            critic_state = env.critic_state(env_state)                 # (E,N,5)
+            team_val = self.critic.apply(
+                {"params": params["critic"]}, critic_state,
+                method=self.critic.critic_pass,
+            )[:, 0]                                                    # (E,)
+            critic_actions = self._encode_actions_for_critic(actions)
+            baselines = self.critic.apply(
+                {"params": params["critic"]}, critic_state, critic_actions,
+                method=self.critic.all_baselines,
+            )                                                          # (E,N)
+
+            # decision_period sub-steps with the same action
+            # (poca_trainer.py:469-482)
+            acc_reward = jnp.zeros(E)
+            last_done = jnp.zeros(E)
+            next_obs = obs
+            for _sub in range(dp):
+                env_state, ts = env.step(env_state, env_actions)
+                acc_reward = acc_reward + ts.reward
+                last_done = jnp.maximum(last_done, ts.done.astype(jnp.float32))
+                next_obs = ts.obs
+
+            transition = Rollout(
+                obs=obs,
+                critic_states=critic_state,
+                actions=actions,
+                log_probs=log_probs,
+                rewards=acc_reward * self.cfg.reward_strength,
+                dones=last_done,
+                team_values=team_val,
+                baselines=baselines,
+                memory_h=stored_h,
+                memory_c=stored_c,
+            )
+
+            if self.recurrent:
+                keep = (1.0 - last_done)[:, None].repeat(N, 1).reshape(E * N, 1)
+                new_carry = (new_carry[0] * keep, new_carry[1] * keep)
+
+            # per-env episode bookkeeping rides along in auxiliary outputs
+            aux = (acc_reward, last_done,
+                   env_state.completed_group_reward)
+            return (env_state, next_obs, new_carry, key), (transition, aux)
+
+        (env_state, obs, actor_carry, key), (rollout, aux) = jax.lax.scan(
+            step_fn, (env_state, obs, actor_carry, key), None,
+            length=self.cfg.horizon,
+        )
+
+        last_state = env.critic_state(env_state)
+        bootstrap = self.critic.apply(
+            {"params": params["critic"]}, last_state,
+            method=self.critic.critic_pass,
+        )[:, 0]
+        return env_state, obs, actor_carry, key, rollout, bootstrap, aux
+
+    # ──────────────────────────────────────────────────────────────
+    #  losses
+    # ──────────────────────────────────────────────────────────────
+
+    def _feedforward_loss(self, params, batch, eps, beta):
+        """poca_trainer.py:534-575."""
+        obs = batch["obs"]                  # (MB, N, obs)
+        MB, N = obs.shape[:2]
+        flat_obs = obs.reshape(MB * N, self.obs_dim)
+        actions = batch["actions"]
+
+        if self.discrete:
+            logits = self.actor.apply({"params": params["actor"]}, flat_obs)
+            act_flat = actions.reshape(MB * N, 1)[:, 0]
+            logp = DiscreteActor.log_prob(logits, act_flat)[:, None]   # (MB·N,1)
+            ent = DiscreteActor.entropy(logits)
+        else:
+            mu, std = self.actor.apply({"params": params["actor"]}, flat_obs)
+            act_flat = actions.reshape(MB * N, self.act_dim)
+            logp = Actor.log_prob(mu, std, act_flat)                   # (MB·N,A)
+            ent = Actor.entropy(std)
+
+        policy_loss = losses.trust_region_policy_loss(
+            batch["advantages"].reshape(-1, 1),
+            logp,
+            batch["old_log_probs"].reshape(MB * N, -1),
+            eps,
+        )
+        mean_entropy = ent.mean()
+
+        cs = batch["critic_states"]
+        new_tv = self.critic.apply({"params": params["critic"]}, cs,
+                                   method=self.critic.critic_pass)[:, 0]
+        critic_act = self._encode_actions_for_critic(actions)
+        new_bl = self.critic.apply({"params": params["critic"]}, cs, critic_act,
+                                   method=self.critic.all_baselines)
+
+        value_loss = losses.trust_region_value_loss(
+            new_tv, batch["old_team_values"], batch["returns"], eps)
+        ret_exp = jnp.broadcast_to(batch["returns"][:, None], new_bl.shape)
+        baseline_loss = losses.trust_region_value_loss(
+            new_bl.reshape(-1), batch["old_baselines"].reshape(-1),
+            ret_exp.reshape(-1), eps)
+
+        total = losses.poca_total_loss(policy_loss, value_loss, baseline_loss,
+                                       mean_entropy, beta)
+        return total, (policy_loss, value_loss, baseline_loss, mean_entropy)
+
+    def _recurrent_loss(self, params, batch, eps, beta):
+        """poca_trainer.py:577-642 — BPTT with done-masked carry."""
+        obs = batch["obs"]                  # (B, L, N, obs)
+        B, L, N = obs.shape[:3]
+        mem = self.cfg.memory_size
+
+        obs_seq = obs.transpose(0, 2, 1, 3).reshape(B * N, L, self.obs_dim)
+        act_seq = batch["actions"].transpose(0, 2, 1, 3).reshape(B * N, L)
+        h0 = batch["memory_h"].reshape(B * N, mem)
+        c0 = batch["memory_c"].reshape(B * N, mem)
+        dones_bn = jnp.broadcast_to(
+            batch["dones"][:, None, :], (B, N, L)
+        ).reshape(B * N, L)
+
+        logits_seq, _ = self.actor.apply(
+            {"params": params["actor"]}, obs_seq, (h0, c0), dones_bn,
+            method=self.actor.forward_sequence,
+        )                                                # (B·N, L, A)
+        logp = DiscreteActor.log_prob(
+            logits_seq.reshape(B * N * L, self.num_actions),
+            act_seq.reshape(B * N * L),
+        ).reshape(B * N, L)
+        ent = DiscreteActor.entropy(
+            logits_seq.reshape(B * N * L, self.num_actions)
+        ).reshape(B * N, L)
+
+        # back to (B, L, N, 1) for the shared policy-loss shape
+        new_logp = logp.reshape(B, N, L).transpose(0, 2, 1)[..., None]
+        policy_loss = losses.trust_region_policy_loss(
+            batch["advantages"].reshape(-1, 1),
+            new_logp.reshape(-1, 1),
+            batch["old_log_probs"].reshape(-1, 1),
+            eps,
+        )
+        mean_entropy = ent.mean()
+
+        cs = batch["critic_states"].reshape(B * L, N, self.STATE_DIM)
+        acts = batch["actions"].reshape(B * L, N, self.act_dim)
+        rets = batch["returns"].reshape(B * L)
+        old_tv = batch["old_team_values"].reshape(B * L)
+        old_bl = batch["old_baselines"].reshape(B * L, N)
+
+        new_tv = self.critic.apply({"params": params["critic"]}, cs,
+                                   method=self.critic.critic_pass)[:, 0]
+        critic_act = self._encode_actions_for_critic(acts)
+        new_bl = self.critic.apply({"params": params["critic"]}, cs, critic_act,
+                                   method=self.critic.all_baselines)
+
+        value_loss = losses.trust_region_value_loss(new_tv, old_tv, rets, eps)
+        ret_exp = jnp.broadcast_to(rets[:, None], new_bl.shape)
+        baseline_loss = losses.trust_region_value_loss(
+            new_bl.reshape(-1), old_bl.reshape(-1), ret_exp.reshape(-1), eps)
+
+        total = losses.poca_total_loss(policy_loss, value_loss, baseline_loss,
+                                       mean_entropy, beta)
+        return total, (policy_loss, value_loss, baseline_loss, mean_entropy)
+
+    # ──────────────────────────────────────────────────────────────
+    #  update
+    # ──────────────────────────────────────────────────────────────
+
+    def _sgd_step(self, train_state: TrainState, batch, eps, beta, loss_fn):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(train_state.params, batch, eps, beta)
+        updates, opt_state = self.tx.update(grads, train_state.opt_state,
+                                            train_state.params)
+        params = optax.apply_updates(train_state.params, updates)
+        return TrainState(params=params, opt_state=opt_state), jnp.stack(aux)
+
+    def _update_fn(self, train_state: TrainState, rollout: Rollout, bootstrap,
+                   lr, eps, beta, key):
+        """num_epochs PPO epochs over the buffer → (train_state, metrics)."""
+        c = self.cfg
+        returns, advantages = buf.compute_advantages(rollout, bootstrap,
+                                                     c.gamma, c.lam)
+        advantages = buf.normalize_advantages(advantages)
+
+        # schedule the learner's lr through the injected hyperparam
+        opt_state = train_state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        train_state = TrainState(params=train_state.params, opt_state=opt_state)
+
+        if self.recurrent:
+            return self._update_recurrent(train_state, rollout, returns,
+                                          advantages, eps, beta, key)
+        return self._update_feedforward(train_state, rollout, returns,
+                                        advantages, eps, beta, key)
+
+    def _update_feedforward(self, train_state, rollout, returns, advantages,
+                            eps, beta, key):
+        c = self.cfg
+        T_E = c.horizon * self.num_envs
+        flat = {
+            "obs": buf.flatten_time_env(rollout.obs),
+            "critic_states": buf.flatten_time_env(rollout.critic_states),
+            "actions": buf.flatten_time_env(rollout.actions),
+            "old_log_probs": buf.flatten_time_env(rollout.log_probs),
+            "advantages": buf.flatten_time_env(advantages),
+            "returns": returns.reshape(-1),
+            "old_team_values": buf.flatten_time_env(rollout.team_values),
+            "old_baselines": buf.flatten_time_env(rollout.baselines),
+        }
+        mb = self.group_mb
+        n_full = T_E // mb
+        rem = T_E % mb
+
+        def epoch_fn(carry, epoch_key):
+            train_state = carry
+            perm = jax.random.permutation(epoch_key, T_E)
+
+            def mb_fn(ts, idx):
+                batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                return self._sgd_step(ts, batch, eps, beta, self._feedforward_loss)
+
+            idxs = perm[: n_full * mb].reshape(n_full, mb)
+            train_state, auxs = jax.lax.scan(mb_fn, train_state, idxs)
+            aux_sum = auxs.sum(0)
+            n_batches = n_full
+            if rem > 0:
+                train_state, aux_tail = mb_fn(train_state, perm[n_full * mb:])
+                aux_sum = aux_sum + aux_tail
+                n_batches += 1
+            return train_state, (aux_sum, jnp.asarray(n_batches, jnp.float32))
+
+        epoch_keys = jax.random.split(key, c.num_epochs)
+        train_state, (aux_sums, counts) = jax.lax.scan(epoch_fn, train_state,
+                                                       epoch_keys)
+        metrics = aux_sums.sum(0) / counts.sum()
+        return train_state, {
+            "policy_loss": metrics[0], "value_loss": metrics[1],
+            "baseline_loss": metrics[2], "entropy": metrics[3],
+            "mean_abs_advantage": jnp.abs(advantages).mean(),
+        }
+
+    def _window_groups(self):
+        """Static BPTT window layout (poca_buffer.py:190-208): fixed-stride
+        windows grouped by length."""
+        T, L = self.cfg.horizon, max(1, min(self.cfg.sequence_length, self.cfg.horizon))
+        groups: dict[int, list[int]] = {}
+        for s in range(0, T, L):
+            length = min(L, T - s)
+            groups.setdefault(length, []).append(s)
+        return groups
+
+    def _update_recurrent(self, train_state, rollout, returns, advantages,
+                          eps, beta, key):
+        c = self.cfg
+        E = self.num_envs
+
+        def windows_for(starts, length):
+            """Stack (n_starts·E) windows of a given length from the buffer."""
+            def win(x):
+                # x: (T, E, …) → (n_s, L, E, …) → (n_s, E, L, …) → (n_s·E, L, …)
+                pieces = jnp.stack([
+                    jax.lax.dynamic_slice_in_dim(x, s, length, axis=0)
+                    for s in starts
+                ])
+                moved = jnp.moveaxis(pieces, 2, 1)
+                return moved.reshape((-1, length) + x.shape[2:])
+
+            batch = {
+                "obs": win(rollout.obs),
+                "critic_states": win(rollout.critic_states),
+                "actions": win(rollout.actions),
+                "old_log_probs": win(rollout.log_probs),
+                "advantages": win(advantages),
+                "dones": win(rollout.dones),
+                "returns": win(returns),
+                "old_team_values": win(rollout.team_values),
+                "old_baselines": win(rollout.baselines),
+                # initial memory = state at window start (poca_buffer.py:240-245)
+                "memory_h": jnp.concatenate([rollout.memory_h[s] for s in starts]),
+                "memory_c": jnp.concatenate([rollout.memory_c[s] for s in starts]),
+            }
+            return batch
+
+        groups = self._window_groups()
+        group_batches = {
+            L: windows_for(starts, L) for L, starts in groups.items()
+        }
+
+        def epoch_fn(train_state, epoch_key):
+            aux_sum = jnp.zeros(4)
+            n_batches = 0.0
+            for L, batch_all in group_batches.items():
+                W = batch_all["obs"].shape[0]
+                seq_bs = max(1, self.group_mb // max(L, 1))
+                seq_bs = min(seq_bs, W)
+                n_full = W // seq_bs
+                rem = W % seq_bs
+                epoch_key, k_perm = jax.random.split(epoch_key)
+                perm = jax.random.permutation(k_perm, W)
+
+                def mb_fn(ts, idx, _batch_all=batch_all):
+                    batch = jax.tree_util.tree_map(lambda x: x[idx], _batch_all)
+                    return self._sgd_step(ts, batch, eps, beta,
+                                          self._recurrent_loss)
+
+                idxs = perm[: n_full * seq_bs].reshape(n_full, seq_bs)
+                train_state, auxs = jax.lax.scan(mb_fn, train_state, idxs)
+                aux_sum = aux_sum + auxs.sum(0)
+                n_batches += n_full
+                if rem > 0:
+                    train_state, aux_tail = mb_fn(train_state,
+                                                  perm[n_full * seq_bs:])
+                    aux_sum = aux_sum + aux_tail
+                    n_batches += 1
+            return train_state, (aux_sum, jnp.asarray(n_batches, jnp.float32))
+
+        # epochs as a Python loop (static, 3) — group dict isn't scannable
+        keys = jax.random.split(key, c.num_epochs)
+        aux_total = jnp.zeros(4)
+        count_total = 0.0
+        for e in range(c.num_epochs):
+            train_state, (aux_sum, n_b) = epoch_fn(train_state, keys[e])
+            aux_total = aux_total + aux_sum
+            count_total = count_total + n_b
+        metrics = aux_total / count_total
+        return train_state, {
+            "policy_loss": metrics[0], "value_loss": metrics[1],
+            "baseline_loss": metrics[2], "entropy": metrics[3],
+            "mean_abs_advantage": jnp.abs(advantages).mean(),
+        }
+
+    # ──────────────────────────────────────────────────────────────
+    #  fused train iteration
+    # ──────────────────────────────────────────────────────────────
+
+    def _train_iter_fn(self, train_state, env_state, obs, actor_carry, key,
+                       lr, eps, beta):
+        """rollout + update in ONE jitted program (the on-device
+        actor-learner loop from SURVEY.md §2's north-star row)."""
+        key, k_up = jax.random.split(key)
+        env_state, obs, actor_carry, key, rollout, bootstrap, aux = \
+            self._rollout_fn(train_state.params, env_state, obs, actor_carry, key)
+        train_state, metrics = self._update_fn(
+            train_state, rollout, bootstrap, lr, eps, beta, k_up
+        )
+        rollout_stats = {
+            "rewards": rollout.rewards,        # (T, E)
+            "dones": rollout.dones,            # (T, E)
+            "completed_group": aux[2],         # (T, E)
+            "mean_team_value": rollout.team_values.mean(),
+        }
+        return train_state, env_state, obs, actor_carry, key, metrics, rollout_stats
+
+    # ──────────────────────────────────────────────────────────────
+    #  outer loop
+    # ──────────────────────────────────────────────────────────────
+
+    def _schedules(self):
+        # the reference evaluates schedules AFTER the rollout advanced
+        # global_step (poca_trainer.py:372-382,525)
+        s = self.global_step + self.cfg.horizon * self.num_envs * self.num_agents
+        return (jnp.float32(self.lr_schedule(s)),
+                jnp.float32(self.eps_schedule(s)),
+                jnp.float32(self.beta_schedule(s)))
+
+    def train_iteration(self, env_state, obs, actor_carry):
+        """One rollout+update; returns (env_state, obs, carry, host_metrics)."""
+        lr, eps, beta = self._schedules()
+        (self.train_state, env_state, obs, actor_carry, self.key,
+         metrics, stats) = self._train_iter_jit(
+            self.train_state, env_state, obs, actor_carry, self.key,
+            lr, eps, beta,
+        )
+        self.update_count += 1
+        decisions = self.cfg.horizon * self.num_envs * self.num_agents
+        self.global_step += decisions
+
+        host = {k: float(v) for k, v in metrics.items()}
+        host["lr"], host["eps"], host["beta"] = float(lr), float(eps), float(beta)
+        self._accumulate_episode_stats(stats)
+        host["mean_rollout_reward"] = float(np.asarray(stats["rewards"]).sum(0).mean())
+        host["mean_step_reward"] = float(np.asarray(stats["rewards"]).mean())
+        host["mean_team_value"] = float(stats["mean_team_value"])
+        self._rollout_reward_history.append(host["mean_rollout_reward"])
+        if len(self._rollout_reward_history) > self._max_history:
+            self._rollout_reward_history.pop(0)
+        return env_state, obs, actor_carry, host
+
+    def _accumulate_episode_stats(self, stats):
+        """Episode returns/lengths across auto-resets (poca_trainer.py:498-515)."""
+        rewards = np.asarray(stats["rewards"])    # (T, E)
+        dones = np.asarray(stats["dones"])
+        completed = np.asarray(stats["completed_group"])
+        dp = self.cfg.decision_period
+        for t in range(rewards.shape[0]):
+            self._episode_reward_acc += rewards[t]
+            self._episode_step_count += dp
+            done_mask = dones[t] > 0.5
+            if done_mask.any():
+                self.completed_episode_returns.extend(
+                    self._episode_reward_acc[done_mask].tolist())
+                self.completed_episode_lengths.extend(
+                    self._episode_step_count[done_mask].tolist())
+                self.completed_group_rewards.extend(
+                    completed[t][done_mask].tolist())
+                self._episode_reward_acc[done_mask] = 0.0
+                self._episode_step_count[done_mask] = 0.0
+
+    def train(self, checkpointer=None, progress=True):
+        """Full training loop with logging + checkpointing
+        (poca_trainer.py:811-975)."""
+        c = self.cfg
+        key_reset, self.key = jax.random.split(self.key)
+        env_state, obs = self.env.reset(key_reset)
+        actor_carry = self.init_actor_carry() if self.recurrent else ()
+
+        next_summary = c.summary_freq
+        next_checkpoint = c.checkpoint_interval
+        start = time.time()
+
+        while self.global_step < c.total_timesteps:
+            env_state, obs, actor_carry, m = self.train_iteration(
+                env_state, obs, actor_carry)
+            elapsed = time.time() - start
+            sps = self.global_step / elapsed if elapsed > 0 else 0.0
+
+            if progress:
+                print(f"[POCA] step={self.global_step:,} upd={self.update_count} "
+                      f"pg={m['policy_loss']:.3f} vf={m['value_loss']:.3f} "
+                      f"bl={m['baseline_loss']:.3f} ent={m['entropy']:.3f} "
+                      f"SPS={sps:,.0f}", flush=True)
+
+            if self.writer is not None and self.global_step >= next_summary:
+                next_summary += c.summary_freq
+                self._write_summaries(m, sps)
+
+            if checkpointer is not None and self.global_step >= next_checkpoint:
+                next_checkpoint += c.checkpoint_interval
+                checkpointer.save(self)
+
+        if checkpointer is not None:
+            checkpointer.save(self, final=True)
+        if self.writer is not None:
+            self.writer.flush()
+        return env_state, obs
+
+    def _write_summaries(self, m, sps):
+        """ML-Agents-exact TensorBoard tags (poca_trainer.py:861-958)."""
+        w, s = self.writer, self.global_step
+        w.add_scalar("Losses/Policy Loss", m["policy_loss"], s)
+        w.add_scalar("Losses/Value Loss", m["value_loss"], s)
+        w.add_scalar("Losses/POCA/Baseline Loss", m["baseline_loss"], s)
+        w.add_scalar("Policy/Entropy", m["entropy"], s)
+        w.add_scalar("Policy/Learning Rate", m["lr"], s)
+        w.add_scalar("Policy/Epsilon", m["eps"], s)
+        w.add_scalar("Policy/Beta", m["beta"], s)
+        w.add_scalar("Policy/Extrinsic Reward", m["mean_step_reward"], s)
+        w.add_scalar("Policy/Extrinsic Value Estimate", m["mean_team_value"], s)
+        if not self.discrete:
+            log_std = np.asarray(self.train_state.params["actor"]["log_std"])
+            for d in range(log_std.shape[-1]):
+                w.add_scalar(f"Policy/Std dim{d}", float(np.exp(log_std[0, d])), s)
+            w.add_scalar("Policy/Log Std Mean", float(log_std.mean()), s)
+        if self.completed_episode_returns:
+            ep = self.completed_episode_returns
+            w.add_scalar("Environment/Cumulative Reward", sum(ep) / len(ep), s)
+            self.completed_episode_returns.clear()
+        if self.completed_episode_lengths:
+            el = self.completed_episode_lengths
+            w.add_scalar("Environment/Episode Length", sum(el) / len(el), s)
+            self.completed_episode_lengths.clear()
+        w.add_scalar("Extra/SPS", sps, s)
+        w.add_scalar("Extra/Mean Rollout Reward", m["mean_rollout_reward"], s)
+        hist = self._rollout_reward_history
+        w.add_scalar("Extra/Rolling Avg Rollout Reward", sum(hist) / len(hist), s)
+        w.add_scalar("Extra/Mean Abs Advantage", m["mean_abs_advantage"], s)
+        if self.completed_group_rewards:
+            gr = self.completed_group_rewards
+            w.add_scalar("Extra/Group Reward Mean", sum(gr) / len(gr), s)
+            self.completed_group_rewards.clear()
+
+    # ── checkpoint metadata (play.py rebuild contract,
+    #    poca_trainer.py:981-999) ─────────────────────────────────
+    def checkpoint_metadata(self) -> dict:
+        c = self.cfg
+        return {
+            "hidden_dim": c.hidden_dim,
+            "num_layers": c.num_layers,
+            "recurrent": self.recurrent,
+            "memory_size": c.memory_size if self.recurrent else 0,
+            "sequence_length": c.sequence_length if self.recurrent else 0,
+            "discrete": self.discrete,
+            "num_actions": self.num_actions if self.discrete else 0,
+            "act_dim": self.act_dim,
+            "state_dim": self.STATE_DIM,
+            "obs_dim": self.obs_dim,
+            "variant": self.env.cfg.variant,
+        }

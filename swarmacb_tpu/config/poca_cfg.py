@@ -1,0 +1,62 @@
+"""POCA trainer hyper-parameters — loadable from ML-Agents-style YAML.
+
+Field names and defaults match the reference ``POCAConfig``
+(poca_trainer.py:43-105) so the YAML loader and CLI map one-to-one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class POCAConfig:
+    # Rollout
+    horizon: int = 1000               # time_horizon
+    num_epochs: int = 3               # num_epoch
+    mini_batch_size: int = 2048       # batch_size
+
+    # PPO / POCA
+    clip_eps: float = 0.2             # epsilon
+    beta: float = 0.005               # entropy coefficient
+
+    # λ-return
+    gamma: float = 0.99
+    lam: float = 0.95                 # lambd
+
+    # Optimiser
+    lr: float = 3e-4
+    adam_eps: float = 1e-8
+
+    # Schedules: "linear" or "constant"
+    lr_schedule: str = "constant"
+    eps_schedule: str = "constant"
+    beta_schedule: str = "constant"
+
+    # Run control (agent-decisions)
+    total_timesteps: int = 120_000_000
+    checkpoint_interval: int = 120_000
+    summary_freq: int = 120_000
+    keep_checkpoints: int = 5
+    checkpoint_dir: str = "checkpoints/poca"
+
+    decision_period: int = 1
+    reward_strength: float = 1.0
+
+    # Network
+    hidden_dim: int = 512
+    num_layers: int = 2
+    critic_num_heads: int = 4
+    recurrent: bool = False
+    memory_size: int = 128
+    sequence_length: int = 64
+
+    # TensorBoard
+    log_dir: str = "runs/poca"
+
+    # buffer_size hint from YAML (drives batches-per-epoch derivation,
+    # poca_trainer.py:663-674)
+    buffer_size_hint: int = 0
+
+    # RNG
+    seed: int = 0

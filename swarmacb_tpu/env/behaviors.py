@@ -49,10 +49,11 @@ class BehaviorState:
 
     @classmethod
     def init(cls, E: int, N: int) -> "BehaviorState":
-        zi = jnp.zeros((E, N), dtype=jnp.int32)
-        zf = jnp.zeros((E, N), dtype=jnp.float32)
-        zb = jnp.zeros((E, N), dtype=bool)
-        return cls(zi, zi, zf, zb, zi, zf, zb, zi, zf)
+        # distinct arrays per field — shared buffers break jit donation
+        zi = lambda: jnp.zeros((E, N), dtype=jnp.int32)
+        zf = lambda: jnp.zeros((E, N), dtype=jnp.float32)
+        zb = lambda: jnp.zeros((E, N), dtype=bool)
+        return cls(zi(), zi(), zf(), zb(), zi(), zf(), zb(), zi(), zf())
 
     def reset_where(self, env_mask: jax.Array) -> "BehaviorState":
         """Zero all machines for envs where ``env_mask`` (E,) is True.

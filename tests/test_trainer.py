@@ -1,0 +1,177 @@
+"""Trainer integration tests on tiny configs (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swarmacb_tpu.agents import Checkpointer, POCAConfig, POCATrainer
+from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
+from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        horizon=8, num_epochs=2, mini_batch_size=8, hidden_dim=16,
+        num_layers=1, total_timesteps=10_000, buffer_size_hint=0,
+        summary_freq=10**9, checkpoint_interval=10**9, seed=0,
+    )
+    base.update(kw)
+    return POCAConfig(**base)
+
+
+def tiny_env(variant="tulip", num_envs=2, num_agents=4):
+    return DirectionalGateEnv(DirectionalGateEnvCfg(
+        variant=variant, num_envs=num_envs, num_agents=num_agents))
+
+
+def _run_iters(trainer, n=2):
+    key = jax.random.PRNGKey(42)
+    env_state, obs = trainer.env.reset(key)
+    carry = trainer.init_actor_carry() if trainer.recurrent else ()
+    metrics = None
+    for _ in range(n):
+        env_state, obs, carry, metrics = trainer.train_iteration(env_state, obs, carry)
+    return metrics
+
+
+def test_discrete_trainer_runs():
+    trainer = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    m = _run_iters(trainer)
+    for k in ("policy_loss", "value_loss", "baseline_loss", "entropy"):
+        assert np.isfinite(m[k]), (k, m[k])
+    assert trainer.global_step == 2 * 8 * 2 * 4
+    assert trainer.update_count == 2
+
+
+def test_continuous_trainer_runs():
+    trainer = POCATrainer(tiny_env("dandelion"), tiny_cfg())
+    m = _run_iters(trainer)
+    assert np.isfinite(m["policy_loss"])
+    # gaussian entropy of unit std ≈ 1.419 per dim × 2 dims
+    assert abs(m["entropy"] - 2 * 1.4189) < 0.3
+
+
+def test_recurrent_trainer_runs():
+    trainer = POCATrainer(tiny_env("cyclamen"),
+                          tiny_cfg(recurrent=True, memory_size=8,
+                                   sequence_length=4, hidden_dim=8))
+    m = _run_iters(trainer)
+    assert np.isfinite(m["policy_loss"])
+    assert np.isfinite(m["entropy"])
+
+
+def test_recurrent_uneven_windows():
+    """horizon=10, seq_len=4 → window groups {4: [0,4], 2: [8]}."""
+    trainer = POCATrainer(tiny_env("cyclamen"),
+                          tiny_cfg(horizon=10, recurrent=True, memory_size=8,
+                                   sequence_length=4, hidden_dim=8))
+    groups = trainer._window_groups()
+    assert groups == {4: [0, 4], 2: [8]}
+    m = _run_iters(trainer, n=1)
+    assert np.isfinite(m["policy_loss"])
+
+
+def test_params_change_and_deterministic():
+    t1 = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                t1.train_state.params)
+    _run_iters(t1, n=1)
+    p1 = t1.train_state.params
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), p0, p1)
+    assert any(jax.tree_util.tree_leaves(changed))
+
+    # same seeds → identical params
+    t2 = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    _run_iters(t2, n=1)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.train_state.params),
+                    jax.tree_util.tree_leaves(t2.train_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_group_minibatch_derivation():
+    """ML-Agents derivation (poca_trainer.py:663-674): buffer 20480 /
+    batch 2048 → 10 batches/epoch → group_mb = T·E/10."""
+    env = tiny_env("tulip", num_envs=5)
+    cfg = tiny_cfg(horizon=1000, mini_batch_size=2048, buffer_size_hint=20480)
+    trainer = POCATrainer(env, cfg)
+    assert trainer.group_mb == (1000 * 5) // 10
+
+
+def test_reward_strength_applied():
+    env = tiny_env("tulip")
+    trainer = POCATrainer(env, tiny_cfg(reward_strength=2.0))
+    key = jax.random.PRNGKey(0)
+    env_state, obs = env.reset(key)
+    out = trainer._rollout_jit(trainer.train_state.params, env_state, obs, (),
+                               jax.random.PRNGKey(1))
+    rollout = out[4]
+    # rewards are integers (K+−K−) × strength → all even or zero
+    r = np.asarray(rollout.rewards)
+    np.testing.assert_allclose(r % 2.0, 0.0, atol=1e-6)
+
+
+def test_rollout_stores_prestep_obs():
+    """The buffer's obs at t must be the obs the action was sampled FROM
+    (poca_trainer.py:407-415)."""
+    env = tiny_env("tulip")
+    trainer = POCATrainer(env, tiny_cfg())
+    key = jax.random.PRNGKey(3)
+    env_state, obs0 = env.reset(key)
+    out = trainer._rollout_jit(trainer.train_state.params, env_state, obs0, (),
+                               jax.random.PRNGKey(4))
+    rollout = out[4]
+    np.testing.assert_allclose(np.asarray(rollout.obs[0]), np.asarray(obs0),
+                               atol=1e-7)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    _run_iters(trainer, n=1)
+    ck = Checkpointer(tmp_path, keep=2)
+    path = ck.save(trainer)
+
+    trainer2 = POCATrainer(tiny_env("tulip"), tiny_cfg(seed=99))
+    meta = ck.restore(path, trainer2)
+    assert meta["variant"] == "tulip"
+    assert trainer2.global_step == trainer.global_step
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.train_state.params),
+                    jax.tree_util.tree_leaves(trainer2.train_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_rotation(tmp_path):
+    trainer = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    ck = Checkpointer(tmp_path, keep=2)
+    for i in range(4):
+        trainer.global_step = (i + 1) * 100
+        ck.save(trainer)
+    kept = sorted(p.name for p in tmp_path.glob("poca_*"))
+    assert len(kept) == 2
+    assert "poca_400" in kept
+
+
+def test_decision_period_substeps():
+    env = tiny_env("tulip")
+    trainer = POCATrainer(env, tiny_cfg(decision_period=3, horizon=4))
+    key = jax.random.PRNGKey(5)
+    env_state, obs = env.reset(key)
+    out = trainer._rollout_jit(trainer.train_state.params, env_state, obs, (),
+                               jax.random.PRNGKey(6))
+    new_env_state = out[0]
+    # 4 decisions × 3 sub-steps = 12 env steps
+    assert int(new_env_state.step_count[0]) == 12
+
+
+def test_linear_schedules_decay():
+    cfg = tiny_cfg(lr_schedule="linear", eps_schedule="linear",
+                   beta_schedule="linear", total_timesteps=1000)
+    trainer = POCATrainer(tiny_env("tulip"), cfg)
+    trainer.global_step = 0
+    lr0, eps0, beta0 = trainer._schedules()
+    trainer.global_step = 900
+    lr1, eps1, beta1 = trainer._schedules()
+    assert float(lr1) < float(lr0)
+    assert float(eps1) < float(eps0) and float(eps1) >= 0.1
+    assert float(beta1) < float(beta0)
