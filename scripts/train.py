@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Train POCA on a registered SwarmACB-TPU mission.
+
+The TPU-native counterpart of the reference's scripts/train.py — same CLI,
+same YAML configs, no Isaac bootstrap. Runs on whatever jax.devices()
+offers (TPU, CPU); multi-host via --distributed.
+
+Usage:
+    # Preferred: ML-Agents-style YAML config
+    python scripts/train.py --config configs/DirGate_dandelion.yaml
+
+    # Override specific settings via CLI
+    python scripts/train.py --config configs/DirGate_dandelion.yaml --num_envs 1024
+
+    # Legacy (no config file)
+    python scripts/train.py --task SwarmACB-DirectionalGate-v0 --variant daisy
+
+    # Resume from checkpoint
+    python scripts/train.py --config configs/DirGate_dandelion.yaml \
+        --checkpoint checkpoints/DirGate_dandelion/poca_1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SwarmACB-TPU POCA Training")
+    p.add_argument("--config", type=str, default=None,
+                   help="Path to ML-Agents-style YAML config file")
+    p.add_argument("--task", type=str, default="SwarmACB-DirectionalGate-v0")
+    p.add_argument("--variant", type=str, default=None,
+                   choices=["dandelion", "daisy", "lily", "tulip", "cyclamen"])
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Checkpoint directory to resume from")
+    p.add_argument("--total_timesteps", type=int, default=None)
+    p.add_argument("--decision_period", type=int, default=None)
+    p.add_argument("--hidden_dim", type=int, default=None)
+    p.add_argument("--num_layers", type=int, default=None)
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a JAX platform (tpu/cpu)")
+    p.add_argument("--distributed", action="store_true",
+                   help="Initialize jax.distributed for multi-host training")
+    p.add_argument("--no-tensorboard", action="store_true")
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from swarmacb_tpu.agents import Checkpointer, POCAConfig, POCATrainer
+    from swarmacb_tpu.config.loader import load_config, print_config
+    from swarmacb_tpu.env import make_env
+    from swarmacb_tpu.utils import make_writer
+
+    # ── Load config ────────────────────────────────────────────────
+    if args.config:
+        run_name, variant, cfg, env_overrides = load_config(args.config)
+    else:
+        variant = args.variant or "dandelion"
+        run_name = f"poca_{variant}_{args.task}"
+        hd, nl = (128, 1) if variant in ("tulip", "cyclamen") else (512, 2)
+        cfg = POCAConfig(
+            hidden_dim=args.hidden_dim or hd,
+            num_layers=args.num_layers or nl,
+            decision_period=args.decision_period or 1,
+            recurrent=(variant == "cyclamen"),
+        )
+        cfg.log_dir = f"runs/{run_name}"
+        cfg.checkpoint_dir = f"checkpoints/poca_{variant}"
+        env_overrides = {}
+
+    # ── CLI overrides always win (scripts/train.py:122-139) ───────
+    if args.variant is not None:
+        variant = args.variant
+        cfg.recurrent = (variant == "cyclamen")
+    if args.total_timesteps is not None:
+        cfg.total_timesteps = args.total_timesteps
+    if args.hidden_dim is not None:
+        cfg.hidden_dim = args.hidden_dim
+    if args.num_layers is not None:
+        cfg.num_layers = args.num_layers
+    if args.decision_period is not None:
+        cfg.decision_period = args.decision_period
+    if args.log_dir is not None:
+        cfg.log_dir = args.log_dir
+    if args.checkpoint_dir is not None:
+        cfg.checkpoint_dir = args.checkpoint_dir
+    if args.seed is not None:
+        cfg.seed = args.seed
+    if args.num_envs is not None:
+        env_overrides["num_envs"] = args.num_envs
+
+    print_config(run_name, variant, cfg, env_overrides)
+
+    # ── Build env ──────────────────────────────────────────────────
+    env_kw = {"variant": variant}
+    if "num_envs" in env_overrides:
+        env_kw["num_envs"] = env_overrides["num_envs"]
+    if "episode_length_s" in env_overrides:
+        env_kw["episode_length_s"] = env_overrides["episode_length_s"]
+    env = make_env(args.task, **env_kw)
+
+    writer = None if args.no_tensorboard else make_writer(cfg.log_dir)
+    trainer = POCATrainer(env, cfg, writer=writer)
+    if writer is not None:
+        hp_text = "\n".join(f"{k}: {v}" for k, v in vars(cfg).items())
+        writer.add_text("hyperparameters", hp_text, 0)
+
+    ckpt = Checkpointer(cfg.checkpoint_dir, keep=cfg.keep_checkpoints)
+    if args.checkpoint:
+        ckpt.restore(args.checkpoint, trainer)
+
+    trainer.train(checkpointer=ckpt)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,19 +85,12 @@ class Checkpointer:
         return meta
 
     @staticmethod
-    def restore_params(path: str | Path, abstract_params):
-        """Restore just the params tree (for play/eval)."""
+    def restore_params(path: str | Path):
+        """Restore just the params tree (for play/eval) — target-free
+        restore returns the arrays exactly as saved."""
         path = Path(path).absolute()
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            path,
-            {
-                "params": jax.tree_util.tree_map(
-                    ocp.utils.to_shape_dtype_struct, abstract_params
-                )
-            },
-            strict=False,
-        )
+        restored = ckptr.restore(path)
         return restored["params"]
 
     def latest(self) -> Path | None:

