@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Benchmark: env-steps/s/chip on 20-robot arenas (the BASELINE.json metric).
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Diagnostics go to stderr.
+
+What is measured
+────────────────
+The full daisy env step (the heaviest path: 8-ray wall raycast over 14
+segments, pairwise robot proximity, light, RAB, all 6 behaviour modules
+with state machines, integration + 3 collision passes, transition reward,
+folded auto-reset) scanned under jit at E=1024 arenas of N=20 robots —
+steady-state steps/s × E = arena-steps/s on one chip.
+
+Baseline
+────────
+The reference publishes no numbers (BASELINE.md). The denominator is an
+ESTIMATE of the reference's 64-env single-GPU throughput: its rollout is a
+Python loop issuing ~100 CUDA kernels per step (SURVEY.md §3.1 "hot
+loops"), making it dispatch-bound at roughly 500 env-steps/s → 32,000
+arena-steps/s at E=64. For scale: the same math measured through the
+reference's own torch modules on this host's (1-core) CPU does ~5,000
+arena-steps/s at E=64. The estimate is deliberately generous to the
+reference; see BENCH_NOTES.md for methodology.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_ARENA_STEPS_PER_S = 32_000.0  # estimated 64-env GPU reference
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_env_steps(variant="daisy", E=1024, N=20, n_steps=100, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
+    from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
+
+    env = DirectionalGateEnv(DirectionalGateEnvCfg(variant=variant, num_envs=E,
+                                                   num_agents=N))
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+
+    if env.cfg.discrete_actions:
+        actions = jax.random.randint(jax.random.PRNGKey(1), (E, N), 0, 6,
+                                     dtype=jnp.int32)
+    else:
+        actions = jax.random.uniform(jax.random.PRNGKey(1), (E, N, 2), -1.0, 1.0)
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s, ts = env.step(s, actions)
+            return s, ts.reward.sum()
+        s, r = jax.lax.scan(body, state, None, length=n_steps)
+        return s, r.sum()
+
+    t0 = time.perf_counter()
+    state2, _ = jax.block_until_ready(run(state))
+    log(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    best = 0.0
+    for i in range(reps):
+        t0 = time.perf_counter()
+        state2, _ = jax.block_until_ready(run(state2))
+        dt = time.perf_counter() - t0
+        sps = n_steps / dt
+        best = max(best, sps * E)
+        log(f"[bench] rep {i}: {sps:,.1f} env-steps/s → {sps*E:,.0f} arena-steps/s")
+    return best
+
+
+def bench_train_iteration(variant="dandelion", E=64, N=20):
+    """Secondary: full fused rollout(T=100)+update iteration throughput."""
+    import jax
+
+    from swarmacb_tpu.agents import POCAConfig, POCATrainer
+    from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
+    from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
+
+    env = DirectionalGateEnv(DirectionalGateEnvCfg(variant=variant, num_envs=E,
+                                                   num_agents=N))
+    cfg = POCAConfig(horizon=100, num_epochs=3, mini_batch_size=2048,
+                     buffer_size_hint=20480, hidden_dim=512, num_layers=2,
+                     total_timesteps=10**9)
+    trainer = POCATrainer(env, cfg)
+    key = jax.random.PRNGKey(0)
+    env_state, obs = env.reset(key)
+
+    t0 = time.perf_counter()
+    env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
+    log(f"[bench] train-iter compile+first: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
+    dt = time.perf_counter() - t0
+    decisions = reps * cfg.horizon * E * N
+    log(f"[bench] train SPS (agent-decisions/s, rollout+update): {decisions/dt:,.0f}")
+    return decisions / dt
+
+
+def main():
+    import jax
+
+    log(f"[bench] devices: {jax.devices()}")
+    value = bench_env_steps()
+    try:
+        train_sps = bench_train_iteration()
+    except Exception as e:  # secondary metric must not kill the benchmark
+        log(f"[bench] train-iteration bench failed: {e!r}")
+        train_sps = None
+
+    result = {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "arena-steps/s/chip (20-robot daisy arenas, E=1024, full sensor+behaviour step)",
+        "vs_baseline": round(value / BASELINE_ARENA_STEPS_PER_S, 2),
+    }
+    if train_sps is not None:
+        log(f"[bench] secondary train_agent_decisions_per_sec={train_sps:,.0f}")
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

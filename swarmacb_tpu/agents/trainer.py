@@ -37,9 +37,12 @@ import numpy as np
 import optax
 from flax import struct
 
+from jax.sharding import PartitionSpec as P
+
 from ..config.poca_cfg import POCAConfig
 from ..env.directional_gate import DirectionalGateEnv
 from ..models import Actor, DiscreteActor, POCACritic, RecurrentDiscreteActor
+from ..parallel import mesh as meshlib
 from . import buffer as buf
 from . import losses
 from .buffer import Rollout
@@ -57,10 +60,18 @@ class POCATrainer:
     STATE_DIM = 5  # critic consumes the 5-D polar state (poca_trainer.py:224-227)
 
     def __init__(self, env: DirectionalGateEnv, cfg: Optional[POCAConfig] = None,
-                 writer=None):
+                 writer=None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — shards
+        the env batch over devices (params replicated, grads all-reduced;
+        see swarmacb_tpu.parallel.mesh). Requires num_envs % mesh size == 0."""
         self.env = env
         self.cfg = cfg or POCAConfig()
         c = self.cfg
+        self.mesh = mesh
+        self.n_shards = 1 if mesh is None else mesh.devices.size
+        if env.num_envs % self.n_shards != 0:
+            raise ValueError(
+                f"num_envs={env.num_envs} must divide over {self.n_shards} devices")
 
         self.num_envs = env.num_envs
         self.num_agents = env.num_agents
@@ -394,18 +405,42 @@ class POCATrainer:
     def _sgd_step(self, train_state: TrainState, batch, eps, beta, loss_fn):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, aux), grads = grad_fn(train_state.params, batch, eps, beta)
+        if self.mesh is not None:
+            # data-parallel learner: all-reduce gradients over the mesh
+            # (each shard's loss is a mean over its local minibatch slice,
+            # so pmean = the global-minibatch gradient)
+            grads = jax.lax.pmean(grads, meshlib.DATA_AXIS)
+            aux = jax.lax.pmean(jnp.stack(aux), meshlib.DATA_AXIS)
+        else:
+            aux = jnp.stack(aux)
         updates, opt_state = self.tx.update(grads, train_state.opt_state,
                                             train_state.params)
         params = optax.apply_updates(train_state.params, updates)
-        return TrainState(params=params, opt_state=opt_state), jnp.stack(aux)
+        return TrainState(params=params, opt_state=opt_state), aux
+
+    def _normalize_advantages(self, advantages):
+        """Mean-0/std-1 over the GLOBAL buffer (Bessel-corrected, matching
+        torch.std — poca_trainer.py:676-683); under the mesh the moments
+        are all-reduced so every shard normalizes identically."""
+        if self.mesh is None:
+            return buf.normalize_advantages(advantages)
+        n_local = advantages.size
+        n_global = n_local * self.n_shards
+        mean = jax.lax.pmean(advantages.mean(), meshlib.DATA_AXIS)
+        sq = jax.lax.pmean(((advantages - mean) ** 2).sum(), meshlib.DATA_AXIS)
+        var = sq * self.n_shards / (n_global - 1)
+        return (advantages - mean) / (jnp.sqrt(var) + 1e-10)
 
     def _update_fn(self, train_state: TrainState, rollout: Rollout, bootstrap,
                    lr, eps, beta, key):
         """num_epochs PPO epochs over the buffer → (train_state, metrics)."""
         c = self.cfg
+        if self.mesh is not None:
+            # decorrelate each shard's minibatch permutation
+            key = jax.random.fold_in(key, jax.lax.axis_index(meshlib.DATA_AXIS))
         returns, advantages = buf.compute_advantages(rollout, bootstrap,
                                                      c.gamma, c.lam)
-        advantages = buf.normalize_advantages(advantages)
+        advantages = self._normalize_advantages(advantages)
 
         # schedule the learner's lr through the injected hyperparam
         opt_state = train_state.opt_state
@@ -421,7 +456,9 @@ class POCATrainer:
     def _update_feedforward(self, train_state, rollout, returns, advantages,
                             eps, beta, key):
         c = self.cfg
-        T_E = c.horizon * self.num_envs
+        # local shapes (under shard_map E is the per-device slice)
+        T_loc, E_loc = rollout.rewards.shape
+        T_E = T_loc * E_loc
         flat = {
             "obs": buf.flatten_time_env(rollout.obs),
             "critic_states": buf.flatten_time_env(rollout.critic_states),
@@ -432,7 +469,8 @@ class POCATrainer:
             "old_team_values": buf.flatten_time_env(rollout.team_values),
             "old_baselines": buf.flatten_time_env(rollout.baselines),
         }
-        mb = self.group_mb
+        mb = max(1, self.group_mb // self.n_shards)
+        mb = min(mb, T_E)
         n_full = T_E // mb
         rem = T_E % mb
 
@@ -516,7 +554,7 @@ class POCATrainer:
             n_batches = 0.0
             for L, batch_all in group_batches.items():
                 W = batch_all["obs"].shape[0]
-                seq_bs = max(1, self.group_mb // max(L, 1))
+                seq_bs = max(1, (self.group_mb // self.n_shards) // max(L, 1))
                 seq_bs = min(seq_bs, W)
                 n_full = W // seq_bs
                 rem = W % seq_bs
@@ -558,6 +596,43 @@ class POCATrainer:
     #  fused train iteration
     # ──────────────────────────────────────────────────────────────
 
+    def _update_dispatch(self, train_state, rollout, bootstrap, lr, eps, beta, key):
+        """Plain update on one device; shard_map'd update over the mesh."""
+        if self.mesh is None:
+            return self._update_fn(train_state, rollout, bootstrap,
+                                   lr, eps, beta, key)
+
+        batch_spec = P(None, meshlib.DATA_AXIS)  # (T, E, …) sharded on E
+        rollout_specs = jax.tree_util.tree_map(lambda _: batch_spec, rollout)
+        ts_specs = jax.tree_util.tree_map(lambda _: P(), train_state)
+        sharded_update = jax.shard_map(
+            self._update_fn,
+            mesh=self.mesh,
+            in_specs=(ts_specs, rollout_specs, P(meshlib.DATA_AXIS),
+                      P(), P(), P(), P()),
+            out_specs=(ts_specs, P()),
+            check_vma=False,
+        )
+        return sharded_update(train_state, rollout, bootstrap, lr, eps, beta, key)
+
+    def place_on_mesh(self, env_state, obs, actor_carry):
+        """Shard env-batch arrays on 'data' (leading dim a multiple of E_local),
+        replicate everything else (e.g. the env PRNG key); replicate params."""
+        data = meshlib.batch_sharding(self.mesh)
+        rep = meshlib.replicated_sharding(self.mesh)
+        E = self.num_envs
+
+        def place(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] in (E, E * self.num_agents):
+                return jax.device_put(x, data)
+            return jax.device_put(x, rep)
+
+        env_state = jax.tree_util.tree_map(place, env_state)
+        obs = jax.device_put(obs, data)
+        actor_carry = jax.tree_util.tree_map(place, actor_carry)
+        self.train_state = meshlib.replicate_pytree(self.train_state, self.mesh)
+        return env_state, obs, actor_carry
+
     def _train_iter_fn(self, train_state, env_state, obs, actor_carry, key,
                        lr, eps, beta):
         """rollout + update in ONE jitted program (the on-device
@@ -565,7 +640,7 @@ class POCATrainer:
         key, k_up = jax.random.split(key)
         env_state, obs, actor_carry, key, rollout, bootstrap, aux = \
             self._rollout_fn(train_state.params, env_state, obs, actor_carry, key)
-        train_state, metrics = self._update_fn(
+        train_state, metrics = self._update_dispatch(
             train_state, rollout, bootstrap, lr, eps, beta, k_up
         )
         rollout_stats = {
@@ -638,6 +713,9 @@ class POCATrainer:
         key_reset, self.key = jax.random.split(self.key)
         env_state, obs = self.env.reset(key_reset)
         actor_carry = self.init_actor_carry() if self.recurrent else ()
+        if self.mesh is not None:
+            env_state, obs, actor_carry = self.place_on_mesh(
+                env_state, obs, actor_carry)
 
         next_summary = c.summary_freq
         next_checkpoint = c.checkpoint_interval

@@ -1,0 +1,106 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swarmacb_tpu.agents import POCAConfig, POCATrainer
+from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
+from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
+from swarmacb_tpu.parallel import make_mesh, batch_sharding
+
+
+def tiny(variant="tulip", num_envs=8, num_agents=4, **cfg_kw):
+    env = DirectionalGateEnv(DirectionalGateEnvCfg(
+        variant=variant, num_envs=num_envs, num_agents=num_agents))
+    base = dict(horizon=6, num_epochs=2, mini_batch_size=8, hidden_dim=16,
+                num_layers=1, total_timesteps=10_000, seed=0)
+    base.update(cfg_kw)
+    return env, POCAConfig(**base)
+
+
+def _iter(trainer, n=1):
+    key = jax.random.PRNGKey(7)
+    env_state, obs = trainer.env.reset(key)
+    carry = trainer.init_actor_carry() if trainer.recurrent else ()
+    if trainer.mesh is not None:
+        env_state, obs, carry = trainer.place_on_mesh(env_state, obs, carry)
+    m = None
+    for _ in range(n):
+        env_state, obs, carry, m = trainer.train_iteration(env_state, obs, carry)
+    return trainer, m
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_train_iteration_runs():
+    env, cfg = tiny()
+    mesh = make_mesh(8)
+    trainer, m = _iter(POCATrainer(env, cfg, mesh=mesh))
+    for k in ("policy_loss", "value_loss", "baseline_loss", "entropy"):
+        assert np.isfinite(m[k]), (k, m[k])
+    # params remain replicated (same value on all devices)
+    leaf = jax.tree_util.tree_leaves(trainer.train_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_mesh_env_batch_actually_sharded():
+    env, cfg = tiny(num_envs=16)
+    mesh = make_mesh(8)
+    trainer = POCATrainer(env, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    env_state, obs = env.reset(key)
+    env_state, obs, _ = trainer.place_on_mesh(env_state, obs, ())
+    assert obs.sharding == batch_sharding(mesh)
+    assert env_state.pos.sharding == batch_sharding(mesh)
+    assert env_state.key.sharding.is_fully_replicated
+
+
+def test_mesh_matches_single_device_rollout():
+    """The rollout (env + policy forward) must be bitwise-identical between
+    1-device and 8-device meshes — GSPMD must not change the math."""
+    env, cfg = tiny(num_envs=8, horizon=4)
+    t1 = POCATrainer(env, cfg)                       # single device
+    t8 = POCATrainer(env, cfg, mesh=make_mesh(8))
+
+    key = jax.random.PRNGKey(3)
+    es1, obs1 = env.reset(key)
+    es8, obs8 = env.reset(key)
+    es8, obs8, _ = t8.place_on_mesh(es8, obs8, ())
+
+    out1 = t1._rollout_jit(t1.train_state.params, es1, obs1, (), jax.random.PRNGKey(5))
+    out8 = t8._rollout_jit(t8.train_state.params, es8, obs8, (), jax.random.PRNGKey(5))
+    r1, r8 = out1[4], out8[4]
+    np.testing.assert_allclose(np.asarray(r1.rewards), np.asarray(r8.rewards), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.obs), np.asarray(r8.obs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.baselines), np.asarray(r8.baselines),
+                               atol=1e-5)
+
+
+def test_mesh_recurrent_runs():
+    env, cfg = tiny("cyclamen", num_envs=8, recurrent=True, memory_size=8,
+                    sequence_length=3, horizon=6)
+    trainer, m = _iter(POCATrainer(env, cfg, mesh=make_mesh(8)))
+    assert np.isfinite(m["policy_loss"])
+
+
+def test_mesh_continuous_runs():
+    env, cfg = tiny("dandelion", num_envs=8)
+    trainer, m = _iter(POCATrainer(env, cfg, mesh=make_mesh(8)))
+    assert np.isfinite(m["policy_loss"])
+
+
+def test_uneven_envs_rejected():
+    env, cfg = tiny(num_envs=6)
+    with pytest.raises(ValueError):
+        POCATrainer(env, cfg, mesh=make_mesh(8))
+
+
+def test_mesh_two_devices():
+    env, cfg = tiny(num_envs=4)
+    trainer, m = _iter(POCATrainer(env, cfg, mesh=make_mesh(2)))
+    assert np.isfinite(m["policy_loss"])
