@@ -108,6 +108,14 @@ class DirectionalGateEnvCfg:
     # ``fixed_wall_faces=True`` for the geometrically correct table.
     fixed_wall_faces: bool = False
 
+    # Use the fused Pallas TPU kernels (ops/pairwise.py) for the N² robot
+    # proximity + RAB sensor pass and the robot collision push-out, instead
+    # of the jnp path. Measured at parity with XLA's fusion at N=20
+    # (BENCH_NOTES.md); off by default, and the bearing trig uses rsqrt
+    # normalization instead of atan2 (Pallas has no atan2 lowering) —
+    # ~4e-4 max deviation on rab_proj.
+    use_pallas: bool = False
+
     # ── derived properties ─────────────────────────────────────────
     @property
     def discrete_actions(self) -> bool:

@@ -126,14 +126,28 @@ class DirectionalGateEnv:
     # ── sensors / obs ─────────────────────────────────────────────
     def _compute_sensor_block(self, pos, yaw):
         cfg = self.cfg
-        prox_vals, prox_value, prox_angle = sensors.compute_proximity(
-            pos, yaw, self.wall_segments, cfg.prox_range, cfg.robot_radius
-        )
+        if cfg.use_pallas:
+            from ..ops import pairwise_sensors  # lazy: optional TPU path
+
+            wdx, wdy = sensors.sensor_world_dirs(yaw)
+            wall = sensors.raycast_segments(pos, wdx, wdy, self.wall_segments,
+                                            cfg.prox_range)
+            robot, ztilde, rab_proj, rab_x, rab_y = pairwise_sensors(
+                pos, yaw, prox_range=cfg.prox_range,
+                robot_radius=cfg.robot_radius, rab_range=cfg.rab_range,
+                alpha_rab=cfg.alpha_parameter,
+            )
+            prox_vals = jnp.maximum(wall, robot)
+            prox_value, prox_angle = sensors.aggregate_prox(prox_vals)
+        else:
+            prox_vals, prox_value, prox_angle = sensors.compute_proximity(
+                pos, yaw, self.wall_segments, cfg.prox_range, cfg.robot_radius
+            )
+            ztilde, rab_proj, rab_x, rab_y = sensors.compute_rab(
+                pos, yaw, cfg.rab_range, cfg.alpha_parameter
+            )
         light_vals, light_value, light_angle = sensors.compute_light(
             pos, yaw, self.light_pos, cfg.light_threshold
-        )
-        ztilde, rab_proj, rab_x, rab_y = sensors.compute_rab(
-            pos, yaw, cfg.rab_range, cfg.alpha_parameter
         )
         return dict(
             prox_vals=prox_vals, prox_value=prox_value, prox_angle=prox_angle,
@@ -216,7 +230,12 @@ class DirectionalGateEnv:
             pos, cfg.robot_radius, cfg.corridor_width / 2.0,
             cfg.gate_south_y, cfg.side_wall_length,
         )
-        pos = physics.resolve_robot_collisions(pos, cfg.robot_radius)
+        if cfg.use_pallas:
+            from ..ops import resolve_robot_collisions as pallas_collisions
+
+            pos = pallas_collisions(pos, cfg.robot_radius)
+        else:
+            pos = physics.resolve_robot_collisions(pos, cfg.robot_radius)
 
         # Reward: colour transitions (directional_gate_env.py:698-738)
         curr_color = sensors.ground_color(pos, cfg)
