@@ -54,3 +54,16 @@ def test_train_and_play_cli(tmp_run):
     )
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "Evaluation results" in r2.stdout
+
+
+def test_manual_control_smoke(tmp_run):
+    env = dict(os.environ)
+    env["SDL_VIDEODRIVER"] = "dummy"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "manual_control.py"),
+         "--smoke-frames", "10", "--num_agents", "6"],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "smoke OK" in r.stdout
