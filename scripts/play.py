@@ -35,6 +35,9 @@ def main():
                    help="argmax (discrete) / mean (continuous) actions")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--episode_length", type=float, default=None,
+                   help="Override episode length in seconds (default: the "
+                        "mission's 120 s; shorter is useful for smoke tests)")
     args = p.parse_args()
 
     import jax
@@ -51,7 +54,11 @@ def main():
 
     meta = Checkpointer.load_metadata(args.checkpoint)
     variant = meta.get("variant", "dandelion")
-    env = make_env(args.task, variant=variant, num_envs=args.num_envs)
+    overrides = {}
+    if args.episode_length is not None:
+        overrides["episode_length_s"] = args.episode_length
+    env = make_env(args.task, variant=variant, num_envs=args.num_envs,
+                   **overrides)
     E, N = env.num_envs, env.num_agents
 
     # ── rebuild actor from metadata ────────────────────────────────

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Force a JAX platform (tpu/cpu)")
     p.add_argument("--distributed", action="store_true",
                    help="Initialize jax.distributed for multi-host training")
+    p.add_argument("--data_parallel", type=str, default="auto",
+                   help="'auto' (mesh over all visible devices when >1), "
+                        "'off' (single device), or an explicit device count")
     p.add_argument("--no-tensorboard", action="store_true")
     return p
 
@@ -117,12 +120,32 @@ def main():
         env_kw["episode_length_s"] = env_overrides["episode_length_s"]
     env = make_env(args.task, **env_kw)
 
-    writer = None if args.no_tensorboard else make_writer(cfg.log_dir)
-    trainer = POCATrainer(env, cfg, writer=writer)
+    # ── Device mesh: env batch data-parallel over all chips ────────
+    from swarmacb_tpu.parallel import make_mesh
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.data_parallel != "off":
+        n = n_dev if args.data_parallel == "auto" else int(args.data_parallel)
+        if n > 1:
+            if env.num_envs % n:
+                raise SystemExit(
+                    f"num_envs={env.num_envs} not divisible by mesh size {n}; "
+                    "adjust --num_envs or --data_parallel")
+            mesh = make_mesh(n)
+            print(f"[train] data-parallel mesh over {n} device(s): "
+                  f"{env.num_envs // n} arenas/device")
+
+    # tensorboard only on process 0 in multi-host runs
+    is_main = jax.process_index() == 0
+    writer = None if (args.no_tensorboard or not is_main) else make_writer(cfg.log_dir)
+    trainer = POCATrainer(env, cfg, writer=writer, mesh=mesh)
     if writer is not None:
         hp_text = "\n".join(f"{k}: {v}" for k, v in vars(cfg).items())
         writer.add_text("hyperparameters", hp_text, 0)
 
+    # all processes participate in checkpointing (orbax coordinates
+    # multi-host saves; params are replicated so the arrays are identical)
     ckpt = Checkpointer(cfg.checkpoint_dir, keep=cfg.keep_checkpoints)
     if args.checkpoint:
         ckpt.restore(args.checkpoint, trainer)

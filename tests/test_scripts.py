@@ -42,13 +42,14 @@ def test_train_and_play_cli(tmp_run):
     final = ckpt_dir / "poca_final"
     assert final.exists(), list(ckpt_dir.iterdir())
 
-    # episodes are 1199 steps — evaluating a full episode on CPU is slow, so
-    # shrink the episode for the play smoke test via a tiny env
+    # full episodes are 1199 steps — shrink to 10 s (99 steps) so the play
+    # smoke test stays fast on the 1-core CPU CI host
     r2 = _run(
         [str(ROOT / "scripts" / "play.py"),
          "--checkpoint", str(final),
          "--num_envs", "2",
          "--num_episodes", "2",
+         "--episode_length", "10",
          "--deterministic"],
         cwd=ROOT, timeout=900,
     )
