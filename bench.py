@@ -38,15 +38,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_env_steps(variant="daisy", E=1024, N=20, n_steps=100, reps=3):
+def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
+                    use_pallas=True):
+    """Tuned per the round-1 sweep (BENCH_NOTES.md): E=32768 arenas with the
+    fused Pallas sensor kernel, 500 steps per dispatch to amortize the
+    ~28 ms tunnel round-trip."""
     import jax
     import jax.numpy as jnp
 
     from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
     from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
 
-    env = DirectionalGateEnv(DirectionalGateEnvCfg(variant=variant, num_envs=E,
-                                                   num_agents=N))
+    env = DirectionalGateEnv(DirectionalGateEnvCfg(
+        variant=variant, num_envs=E, num_agents=N,
+        use_pallas=use_pallas and jax.default_backend() == "tpu"))
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)
 
@@ -124,7 +129,7 @@ def main():
     result = {
         "metric": "env_steps_per_sec_per_chip",
         "value": round(value, 1),
-        "unit": "arena-steps/s/chip (20-robot daisy arenas, E=1024, full sensor+behaviour step)",
+        "unit": "arena-steps/s/chip (20-robot daisy arenas, E=32768, full sensor+behaviour step)",
         "vs_baseline": round(value / BASELINE_ARENA_STEPS_PER_S, 2),
     }
     if train_sps is not None:

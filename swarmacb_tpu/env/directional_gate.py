@@ -129,15 +129,14 @@ class DirectionalGateEnv:
         if cfg.use_pallas:
             from ..ops import pairwise_sensors  # lazy: optional TPU path
 
-            wdx, wdy = sensors.sensor_world_dirs(yaw)
-            wall = sensors.raycast_segments(pos, wdx, wdy, self.wall_segments,
-                                            cfg.prox_range)
-            robot, ztilde, rab_proj, rab_x, rab_y = pairwise_sensors(
+            # wall raycast fused into the same kernel: positions are read
+            # once and prox already carries max(wall, robot) per sensor
+            prox_vals, ztilde, rab_proj, rab_x, rab_y = pairwise_sensors(
                 pos, yaw, prox_range=cfg.prox_range,
                 robot_radius=cfg.robot_radius, rab_range=cfg.rab_range,
                 alpha_rab=cfg.alpha_parameter,
+                wall_segments=self.wall_segments,
             )
-            prox_vals = jnp.maximum(wall, robot)
             prox_value, prox_angle = sensors.aggregate_prox(prox_vals)
         else:
             prox_vals, prox_value, prox_angle = sensors.compute_proximity(

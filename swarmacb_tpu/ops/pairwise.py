@@ -47,7 +47,8 @@ def _on_tpu() -> bool:
 
 def _sensor_kernel(px_ref, py_ref, cy_ref, sy_ref,
                    prox_ref, zt_ref, proj_ref, ax_ref, ay_ref,
-                   *, N, prox_range, robot_radius, rab_range, alpha_rab):
+                   *, N, prox_range, robot_radius, rab_range, alpha_rab,
+                   segments):
     px = px_ref[:]          # (N, 128) robot x per arena-lane
     py = py_ref[:]
     cos_y = cy_ref[:]       # (N, 128)
@@ -67,6 +68,7 @@ def _sensor_kernel(px_ref, py_ref, cy_ref, sy_ref,
     cos_a = np.cos(EPUCK_SENSOR_ANGLES)     # (8,) python consts
     sin_a = np.sin(EPUCK_SENSOR_ANGLES)
     inv_dist_p = 1.0 / (dist_p + 1e-8)
+    inv_range = 1.0 / prox_range
     for s in range(8):
         # world-frame sensor dir for sensor s: (N, 128)
         wdx = cos_a[s] * cos_y - sin_a[s] * sin_y
@@ -75,7 +77,23 @@ def _sensor_kernel(px_ref, py_ref, cy_ref, sy_ref,
         cos_angle = dot * inv_dist_p
         hit = in_range_p & (cos_angle > 0.9659) & ~is_self
         reading = jnp.where(hit, reading_val, jnp.zeros_like(reading_val))
-        prox_ref[s * N:(s + 1) * N, :] = reading.max(axis=1)
+        out = reading.max(axis=1)
+
+        # ── wall raycast fused in (epuck_sensors.py:178-236): max over
+        # the static segment list of (1 − t/range) for valid ray hits ──
+        for ax_s, ay_s, sx_s, sy_s in segments:
+            denom = wdx * sy_s - wdy * sx_s                  # (N, 128)
+            valid = jnp.abs(denom) > 1e-8
+            inv_denom = 1.0 / (denom + 1e-12)
+            rel_x = ax_s - px
+            rel_y = ay_s - py
+            t = (rel_x * sy_s - rel_y * sx_s) * inv_denom
+            u = (rel_x * wdy - rel_y * wdx) * inv_denom
+            w_hit = valid & (t >= 0) & (t <= prox_range) & (u >= 0) & (u <= 1)
+            w_read = jnp.where(w_hit, 1.0 - t * inv_range, 0.0)
+            out = jnp.maximum(out, w_read)
+
+        prox_ref[s * N:(s + 1) * N, :] = out
 
     # ── range-and-bearing (epuck_sensors.py:374-442) ──────────────
     dist_r = jnp.sqrt(d2 + 1e-8)
@@ -114,16 +132,27 @@ def _sensor_kernel(px_ref, py_ref, cy_ref, sy_ref,
 
 
 def pairwise_sensors(pos, yaw, *, prox_range, robot_radius, rab_range,
-                     alpha_rab, interpret=None):
-    """Fused robot-proximity + RAB pass.
+                     alpha_rab, wall_segments=None, interpret=None):
+    """Fused robot-proximity + RAB pass, optionally with the wall raycast.
 
-    Args:  pos (E, N, 2), yaw (E, N).
-    Returns: robot_prox (E, N, 8), ztilde (E, N), rab_proj (E, N, 4),
+    Args:  pos (E, N, 2), yaw (E, N); wall_segments: optional static
+    (S, 4) [ax, ay, bx, by] array — when given, the 8-ray wall raycast
+    (epuck_sensors.py:178-236) is fused into the kernel and the returned
+    prox already carries max(wall, robot) per sensor.
+    Returns: prox (E, N, 8), ztilde (E, N), rab_proj (E, N, 4),
              rab_attr_x (E, N), rab_attr_y (E, N).
     """
     E, N = yaw.shape
     if interpret is None:
         interpret = not _on_tpu()
+    segments = ()
+    if wall_segments is not None:
+        seg = np.asarray(wall_segments, dtype=np.float64)
+        # python-float consts per segment: (ax, ay, sx, sy)
+        segments = tuple(
+            (float(a[0]), float(a[1]), float(a[2] - a[0]), float(a[3] - a[1]))
+            for a in seg
+        )
 
     # arena-on-lanes: (E, N) → (N, E), pad E to LANES multiple
     Ep = ((E + LANES - 1) // LANES) * LANES
@@ -147,7 +176,7 @@ def pairwise_sensors(pos, yaw, *, prox_range, robot_radius, rab_range,
 
     kernel = functools.partial(
         _sensor_kernel, N=N, prox_range=prox_range, robot_radius=robot_radius,
-        rab_range=rab_range, alpha_rab=alpha_rab,
+        rab_range=rab_range, alpha_rab=alpha_rab, segments=segments,
     )
     outs = pl.pallas_call(
         kernel,

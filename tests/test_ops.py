@@ -80,3 +80,23 @@ def test_env_pallas_flag_matches_default():
         sb, tb = env_b.step(sb, actions)
     np.testing.assert_allclose(np.asarray(sa.pos), np.asarray(sb.pos), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ta.obs), np.asarray(tb.obs), atol=1e-4)
+
+
+def test_pairwise_sensors_fused_raycast_matches_jnp():
+    """With wall_segments passed, the kernel's prox output must equal
+    max(jnp wall raycast, jnp robot cone test) per sensor."""
+    pos, yaw = _poses(E=5, N=20, seed=3)
+    wdx, wdy = sensors.sensor_world_dirs(yaw)
+    wall = sensors.raycast_segments(pos, wdx, wdy, ENV.wall_segments,
+                                    CFG.prox_range)
+    robot = sensors.detect_robots_proximity(pos, wdx, wdy, CFG.prox_range,
+                                            CFG.robot_radius)
+    ref_prox = jnp.maximum(wall, robot)
+
+    prox, *_ = pairwise_sensors(
+        pos, yaw, prox_range=CFG.prox_range, robot_radius=CFG.robot_radius,
+        rab_range=CFG.rab_range, alpha_rab=CFG.alpha_parameter,
+        wall_segments=ENV.wall_segments, interpret=True)
+
+    assert np.asarray(wall).max() > 0, "poses never see a wall — weak test"
+    np.testing.assert_allclose(np.asarray(prox), np.asarray(ref_prox), atol=2e-6)
