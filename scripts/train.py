@@ -38,7 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["dandelion", "daisy", "lily", "tulip", "cyclamen"])
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--checkpoint", type=str, default=None,
-                   help="Checkpoint directory to resume from")
+                   help="Checkpoint directory to resume from, or 'latest' to "
+                        "auto-resume from the newest checkpoint in "
+                        "--checkpoint_dir (preemption recovery)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace of iterations 2-4 "
+                        "into DIR (view with tensorboard or xprof)")
     p.add_argument("--total_timesteps", type=int, default=None)
     p.add_argument("--decision_period", type=int, default=None)
     p.add_argument("--hidden_dim", type=int, default=None)
@@ -147,8 +152,18 @@ def main():
     # all processes participate in checkpointing (orbax coordinates
     # multi-host saves; params are replicated so the arrays are identical)
     ckpt = Checkpointer(cfg.checkpoint_dir, keep=cfg.keep_checkpoints)
-    if args.checkpoint:
+    if args.checkpoint == "latest":
+        latest = ckpt.latest()
+        if latest is not None:
+            ckpt.restore(latest, trainer)
+        else:
+            print(f"[train] no checkpoint in {cfg.checkpoint_dir}; "
+                  "starting fresh")
+    elif args.checkpoint:
         ckpt.restore(args.checkpoint, trainer)
+
+    if args.profile:
+        trainer.profile_dir = args.profile
 
     trainer.train(checkpointer=ckpt)
 

@@ -720,10 +720,21 @@ class POCATrainer:
         next_summary = c.summary_freq
         next_checkpoint = c.checkpoint_interval
         start = time.time()
+        # optional jax.profiler capture of iterations 2-4 (skip the
+        # compile-heavy first one) — set via scripts/train.py --profile
+        profile_dir = getattr(self, "profile_dir", None)
+        iteration = 0
 
         while self.global_step < c.total_timesteps:
+            if profile_dir is not None and iteration == 1:
+                jax.profiler.start_trace(profile_dir)
             env_state, obs, actor_carry, m = self.train_iteration(
                 env_state, obs, actor_carry)
+            iteration += 1
+            if profile_dir is not None and iteration == 4:
+                jax.profiler.stop_trace()
+                print(f"[POCA] profiler trace → {profile_dir}", flush=True)
+                profile_dir = None
             elapsed = time.time() - start
             sps = self.global_step / elapsed if elapsed > 0 else 0.0
 
