@@ -402,9 +402,40 @@ class POCATrainer:
     #  update
     # ──────────────────────────────────────────────────────────────
 
+    def _grad_chunks(self, batch_size: int) -> int:
+        """Number of equal gradient-accumulation chunks for a minibatch of
+        ``batch_size`` groups (see POCAConfig.accum_chunk_groups)."""
+        cap = self.cfg.accum_chunk_groups
+        if cap <= 0 or batch_size <= cap:
+            return 1
+        n = -(-batch_size // cap)
+        while batch_size % n:
+            n += 1
+        return n
+
     def _sgd_step(self, train_state: TrainState, batch, eps, beta, loss_fn):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, aux), grads = grad_fn(train_state.params, batch, eps, beta)
+        B = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        n_chunks = self._grad_chunks(B)
+        if n_chunks == 1:
+            (_, aux), grads = grad_fn(train_state.params, batch, eps, beta)
+        else:
+            # exact chunked accumulation: equal chunks, averaged gradients
+            chunked = jax.tree_util.tree_map(
+                lambda x: x.reshape(n_chunks, B // n_chunks, *x.shape[1:]),
+                batch)
+
+            def chunk_fn(carry, ch):
+                g_acc, aux_acc = carry
+                (_, aux_c), g = grad_fn(train_state.params, ch, eps, beta)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, aux_acc + jnp.stack(aux_c)), None
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, train_state.params)
+            (g_sum, aux_sum), _ = jax.lax.scan(
+                chunk_fn, (g0, jnp.zeros(4)), chunked)
+            grads = jax.tree_util.tree_map(lambda g: g / n_chunks, g_sum)
+            aux = tuple(aux_sum / n_chunks)
         if self.mesh is not None:
             # data-parallel learner: all-reduce gradients over the mesh
             # (each shard's loss is a mean over its local minibatch slice,

@@ -58,5 +58,18 @@ class POCAConfig:
     # poca_trainer.py:663-674)
     buffer_size_hint: int = 0
 
+    # Memory ceiling for one gradient computation, in GROUPS (arena
+    # timesteps). The ML-Agents minibatch derivation makes the minibatch
+    # size scale with the arena count (group_mb = T·E / batches-per-epoch),
+    # which at TPU-native E blows up the critic's (B·N, N, h) attention.
+    # Minibatches above this cap are processed as equal-size chunks whose
+    # gradients are averaged — mathematically identical to the full-batch
+    # gradient (all losses are per-element means; equal chunks → mean of
+    # chunk-means == global mean), just bounded activation memory.
+    # Sized so the critic's counterfactual pass — which materializes
+    # several (chunk·N, N, hidden) tensors for the backward — stays under
+    # a v5e chip's 16 GB at hidden=512, N=20. 0 disables chunking.
+    accum_chunk_groups: int = 1024
+
     # RNG
     seed: int = 0

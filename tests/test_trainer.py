@@ -175,3 +175,30 @@ def test_linear_schedules_decay():
     assert float(lr1) < float(lr0)
     assert float(eps1) < float(eps0) and float(eps1) >= 0.1
     assert float(beta1) < float(beta0)
+
+
+def test_chunked_grad_accumulation_matches_full_batch():
+    """accum_chunk_groups splits oversize minibatches into equal chunks with
+    averaged gradients — must reproduce the full-batch update (identical
+    math, fp reduction order aside)."""
+    # group_mb = min(mini_batch_size=8, T_E=16) = 8; cap=2 → 4 chunks
+    t_full = POCATrainer(tiny_env("tulip"), tiny_cfg(accum_chunk_groups=0))
+    t_chunk = POCATrainer(tiny_env("tulip"), tiny_cfg(accum_chunk_groups=2))
+    assert t_chunk._grad_chunks(t_chunk.group_mb) > 1
+
+    _run_iters(t_full, n=2)
+    _run_iters(t_chunk, n=2)
+    for a, b in zip(jax.tree_util.tree_leaves(t_full.train_state.params),
+                    jax.tree_util.tree_leaves(t_chunk.train_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_chunked_grad_accumulation_recurrent():
+    """The chunking path also covers the BPTT sequence batches."""
+    cfg = tiny_cfg(recurrent=True, memory_size=8, sequence_length=4,
+                   accum_chunk_groups=2)
+    trainer = POCATrainer(tiny_env("cyclamen"), cfg)
+    m = _run_iters(trainer, n=1)
+    for k in ("policy_loss", "value_loss", "baseline_loss", "entropy"):
+        assert np.isfinite(m[k])
