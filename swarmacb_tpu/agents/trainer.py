@@ -166,6 +166,18 @@ class POCATrainer:
         self._update_jit = jax.jit(self._update_fn, donate_argnums=(0,))
         self._train_iter_jit = jax.jit(self._train_iter_fn, donate_argnums=(0, 1))
 
+        # split-update mode (see POCAConfig.split_update_groups): identical
+        # math to the fused program, but one device call per minibatch so
+        # single-program wall time stays bounded at large E
+        self._use_split_update = (
+            c.split_update_groups > 0
+            and not self.recurrent
+            and mesh is None
+            and self.group_mb > c.split_update_groups
+        )
+        self._prep_update_jit = jax.jit(self._prep_update_fn)
+        self._mb_step_jit = jax.jit(self._mb_step_fn, donate_argnums=(0,))
+
     # ──────────────────────────────────────────────────────────────
     #  helpers
     # ──────────────────────────────────────────────────────────────
@@ -533,6 +545,88 @@ class POCATrainer:
             "mean_abs_advantage": jnp.abs(advantages).mean(),
         }
 
+    # ── split-update path (one device program per minibatch) ──────
+
+    def _prep_update_fn(self, rollout: Rollout, bootstrap):
+        """Returns/advantages + flattened buffer views for minibatching."""
+        c = self.cfg
+        returns, advantages = buf.compute_advantages(rollout, bootstrap,
+                                                     c.gamma, c.lam)
+        advantages = buf.normalize_advantages(advantages)
+        flat = {
+            "obs": buf.flatten_time_env(rollout.obs),
+            "critic_states": buf.flatten_time_env(rollout.critic_states),
+            "actions": buf.flatten_time_env(rollout.actions),
+            "old_log_probs": buf.flatten_time_env(rollout.log_probs),
+            "advantages": buf.flatten_time_env(advantages),
+            "returns": returns.reshape(-1),
+            "old_team_values": buf.flatten_time_env(rollout.team_values),
+            "old_baselines": buf.flatten_time_env(rollout.baselines),
+        }
+        return flat, jnp.abs(advantages).mean()
+
+    def _mb_step_fn(self, train_state, flat, idx, eps, beta):
+        batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
+        return self._sgd_step(train_state, batch, eps, beta,
+                              self._feedforward_loss)
+
+    def _update_split(self, rollout, bootstrap, lr, eps, beta, key):
+        """Same epochs/minibatches/permutations as the fused update, driven
+        from the host so no single device program exceeds one minibatch."""
+        c = self.cfg
+        flat, mean_abs_adv = self._prep_update_jit(rollout, bootstrap)
+
+        opt_state = self.train_state.opt_state
+        # copy: train_state is donated per minibatch step, and the caller
+        # still reads the schedule scalars after the update
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr).copy()
+        train_state = TrainState(params=self.train_state.params,
+                                 opt_state=opt_state)
+
+        T_E = c.horizon * self.num_envs
+        mb = min(max(1, self.group_mb), T_E)
+        n_full, rem = T_E // mb, T_E % mb
+
+        aux_sum = jnp.zeros(4)
+        n_batches = 0
+        for epoch_key in jax.random.split(key, c.num_epochs):
+            perm = jax.random.permutation(epoch_key, T_E)
+            for i in range(n_full):
+                train_state, aux = self._mb_step_jit(
+                    train_state, flat, perm[i * mb:(i + 1) * mb], eps, beta)
+                aux_sum = aux_sum + aux
+                n_batches += 1
+            if rem > 0:
+                train_state, aux = self._mb_step_jit(
+                    train_state, flat, perm[n_full * mb:], eps, beta)
+                aux_sum = aux_sum + aux
+                n_batches += 1
+
+        metrics_v = aux_sum / n_batches
+        metrics = {
+            "policy_loss": metrics_v[0], "value_loss": metrics_v[1],
+            "baseline_loss": metrics_v[2], "entropy": metrics_v[3],
+            "mean_abs_advantage": mean_abs_adv,
+        }
+        return train_state, metrics
+
+    def _train_iteration_split(self, env_state, obs, actor_carry, lr, eps, beta):
+        key, k_up = jax.random.split(self.key)
+        (env_state, obs, actor_carry, key, rollout, bootstrap,
+         aux) = self._rollout_jit(self.train_state.params, env_state, obs,
+                                  actor_carry, key)
+        train_state, metrics = self._update_split(rollout, bootstrap,
+                                                  lr, eps, beta, k_up)
+        stats = {
+            "rewards": rollout.rewards,
+            "dones": rollout.dones,
+            "completed_group": aux[2],
+            "mean_team_value": rollout.team_values.mean(),
+        }
+        self.train_state = train_state
+        self.key = key
+        return env_state, obs, actor_carry, metrics, stats
+
     def _window_groups(self):
         """Static BPTT window layout (poca_buffer.py:190-208): fixed-stride
         windows grouped by length."""
@@ -697,11 +791,16 @@ class POCATrainer:
     def train_iteration(self, env_state, obs, actor_carry):
         """One rollout+update; returns (env_state, obs, carry, host_metrics)."""
         lr, eps, beta = self._schedules()
-        (self.train_state, env_state, obs, actor_carry, self.key,
-         metrics, stats) = self._train_iter_jit(
-            self.train_state, env_state, obs, actor_carry, self.key,
-            lr, eps, beta,
-        )
+        if self._use_split_update:
+            env_state, obs, actor_carry, metrics, stats = \
+                self._train_iteration_split(env_state, obs, actor_carry,
+                                            lr, eps, beta)
+        else:
+            (self.train_state, env_state, obs, actor_carry, self.key,
+             metrics, stats) = self._train_iter_jit(
+                self.train_state, env_state, obs, actor_carry, self.key,
+                lr, eps, beta,
+            )
         self.update_count += 1
         decisions = self.cfg.horizon * self.num_envs * self.num_agents
         self.global_step += decisions

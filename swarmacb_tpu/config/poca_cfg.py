@@ -71,5 +71,16 @@ class POCAConfig:
     # a v5e chip's 16 GB at hidden=512, N=20. 0 disables chunking.
     accum_chunk_groups: int = 1024
 
+    # When the derived group minibatch exceeds this, the PPO update runs as
+    # one device program PER MINIBATCH (host-driven loop) instead of one
+    # fused program for all epochs. Identical math and update order — the
+    # split only bounds single-program execution time, which matters both
+    # for tunnelled/remote device runtimes that cap per-program wall time
+    # and for checkpoint/interrupt latency. ~30 extra dispatches per
+    # update (< 1 s) against multi-minute fused programs at large E.
+    # 0 = always fused. Feedforward single-device path only; the mesh
+    # (shard_map) and recurrent paths stay fused.
+    split_update_groups: int = 16384
+
     # RNG
     seed: int = 0

@@ -202,3 +202,22 @@ def test_chunked_grad_accumulation_recurrent():
     m = _run_iters(trainer, n=1)
     for k in ("policy_loss", "value_loss", "baseline_loss", "entropy"):
         assert np.isfinite(m[k])
+
+
+def test_split_update_matches_fused():
+    """split_update_groups runs one device program per minibatch with the
+    same RNG streams / permutations / update order as the fused program —
+    resulting params must match."""
+    t_fused = POCATrainer(tiny_env("tulip"), tiny_cfg(split_update_groups=0))
+    t_split = POCATrainer(tiny_env("tulip"), tiny_cfg(split_update_groups=1))
+    assert not t_fused._use_split_update
+    assert t_split._use_split_update
+
+    m1 = _run_iters(t_fused, n=2)
+    m2 = _run_iters(t_split, n=2)
+    for a, b in zip(jax.tree_util.tree_leaves(t_fused.train_state.params),
+                    jax.tree_util.tree_leaves(t_split.train_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for k in ("policy_loss", "value_loss", "baseline_loss", "entropy"):
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-6)
