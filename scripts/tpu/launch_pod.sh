@@ -46,8 +46,13 @@ GCLOUD=(gcloud compute tpus tpu-vm)
 if [[ "$SYNC" == 1 ]]; then
   echo "[launch_pod] syncing repo to all workers..."
   SRC_DIR="$(cd "$(dirname "$0")/../.." && pwd)"
+  # scp lands the tree under the LOCAL basename; move it to REPO_DIR so
+  # the launch/check commands below find it regardless of checkout name
   "${GCLOUD[@]}" scp --recurse --worker=all --zone "$ZONE" \
     "$SRC_DIR" "$TPU":"$(dirname "$REPO_DIR")/"
+  "${GCLOUD[@]}" ssh "$TPU" --zone "$ZONE" --worker=all --command \
+    "src=$(dirname "$REPO_DIR")/$(basename "$SRC_DIR"); \
+     if [ \"\$src\" != \"$REPO_DIR\" ]; then rm -rf $REPO_DIR && mv \"\$src\" $REPO_DIR; fi"
 fi
 
 if [[ "$CHECK" == 1 ]]; then
@@ -60,8 +65,12 @@ fi
 # One process per host; jax.distributed.initialize() discovers the slice
 # topology from the TPU metadata server. --data_parallel auto builds the
 # mesh over every chip of every host.
+QUOTED_ARGS=""
+for a in ${TRAIN_ARGS[@]+"${TRAIN_ARGS[@]}"}; do
+  QUOTED_ARGS+=" $(printf '%q' "$a")"
+done
 echo "[launch_pod] launching train.py on all workers of $TPU..."
 "${GCLOUD[@]}" ssh "$TPU" --zone "$ZONE" --worker=all --command \
-  "cd $REPO_DIR && nohup python3 scripts/train.py --distributed --data_parallel auto ${TRAIN_ARGS[*]} > train_\$(hostname).log 2>&1 &"
+  "cd $REPO_DIR && nohup python3 scripts/train.py --distributed --data_parallel auto$QUOTED_ARGS > train_\$(hostname).log 2>&1 &"
 echo "[launch_pod] started. Tail logs with:"
 echo "  ${GCLOUD[*]} ssh $TPU --zone $ZONE --worker=0 --command 'tail -f $REPO_DIR/train_*.log'"

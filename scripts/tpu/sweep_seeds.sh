@@ -6,8 +6,6 @@
 # Runs VARIANTS × SEEDS independent trainings sequentially on this host
 # (one TPU chip trains orders of magnitude faster than the reference's
 # 1-GPU jobs, so sequential seeds on one chip replace the 10-node array).
-# Set TPU_CHIPS to a comma-separated device list to round-robin seeds
-# across chips of a multi-chip host instead.
 #
 # Usage:
 #   scripts/tpu/sweep_seeds.sh                      # 5 variants × 10 seeds

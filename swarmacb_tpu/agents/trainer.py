@@ -168,14 +168,17 @@ class POCATrainer:
 
         # split-update mode (see POCAConfig.split_update_groups): identical
         # math to the fused program, but one device call per minibatch so
-        # single-program wall time stays bounded at large E
+        # single-program wall time stays bounded at large E. The trigger is
+        # the BUFFER size (T·E groups): fused-program wall time scales with
+        # total work per epoch, not with the minibatch size.
         self._use_split_update = (
             c.split_update_groups > 0
             and not self.recurrent
             and mesh is None
-            and self.group_mb > c.split_update_groups
+            and T_E > c.split_update_groups
         )
-        self._prep_update_jit = jax.jit(self._prep_update_fn)
+        self._prep_update_jit = jax.jit(self._prep_update_fn,
+                                        donate_argnums=(0,))
         self._mb_step_jit = jax.jit(self._mb_step_fn, donate_argnums=(0,))
 
     # ──────────────────────────────────────────────────────────────
@@ -414,21 +417,31 @@ class POCATrainer:
     #  update
     # ──────────────────────────────────────────────────────────────
 
-    def _grad_chunks(self, batch_size: int) -> int:
+    def _grad_chunks(self, batch_rows: int, groups_per_row: int = 1) -> int:
         """Number of equal gradient-accumulation chunks for a minibatch of
-        ``batch_size`` groups (see POCAConfig.accum_chunk_groups)."""
+        ``batch_rows`` rows of ``groups_per_row`` arena timesteps each
+        (1 for feedforward; the BPTT window length for recurrent batches,
+        so the cap is honoured in GROUPS either way — see
+        POCAConfig.accum_chunk_groups)."""
         cap = self.cfg.accum_chunk_groups
-        if cap <= 0 or batch_size <= cap:
+        if cap <= 0 or batch_rows * groups_per_row <= cap:
             return 1
-        n = -(-batch_size // cap)
-        while batch_size % n:
+        cap_rows = max(1, cap // groups_per_row)
+        target = -(-batch_rows // cap_rows)
+        n = target
+        # equal chunks require a divisor; a pathological row count with no
+        # divisor near the target (e.g. prime) would otherwise degenerate
+        # into thousands of single-row passes — bound the search and fall
+        # back to the full batch instead
+        while batch_rows % n and n <= 4 * target:
             n += 1
-        return n
+        return n if batch_rows % n == 0 else 1
 
-    def _sgd_step(self, train_state: TrainState, batch, eps, beta, loss_fn):
+    def _sgd_step(self, train_state: TrainState, batch, eps, beta, loss_fn,
+                  groups_per_row: int = 1):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         B = jax.tree_util.tree_leaves(batch)[0].shape[0]
-        n_chunks = self._grad_chunks(B)
+        n_chunks = self._grad_chunks(B, groups_per_row)
         if n_chunks == 1:
             (_, aux), grads = grad_fn(train_state.params, batch, eps, beta)
         else:
@@ -496,13 +509,11 @@ class POCATrainer:
         return self._update_feedforward(train_state, rollout, returns,
                                         advantages, eps, beta, key)
 
-    def _update_feedforward(self, train_state, rollout, returns, advantages,
-                            eps, beta, key):
-        c = self.cfg
-        # local shapes (under shard_map E is the per-device slice)
-        T_loc, E_loc = rollout.rewards.shape
-        T_E = T_loc * E_loc
-        flat = {
+    @staticmethod
+    def _flatten_buffer(rollout: Rollout, returns, advantages) -> dict:
+        """(T, E, …) buffer → flat (T·E, …) minibatch source arrays —
+        shared by the fused and split update paths."""
+        return {
             "obs": buf.flatten_time_env(rollout.obs),
             "critic_states": buf.flatten_time_env(rollout.critic_states),
             "actions": buf.flatten_time_env(rollout.actions),
@@ -512,6 +523,14 @@ class POCATrainer:
             "old_team_values": buf.flatten_time_env(rollout.team_values),
             "old_baselines": buf.flatten_time_env(rollout.baselines),
         }
+
+    def _update_feedforward(self, train_state, rollout, returns, advantages,
+                            eps, beta, key):
+        c = self.cfg
+        # local shapes (under shard_map E is the per-device slice)
+        T_loc, E_loc = rollout.rewards.shape
+        T_E = T_loc * E_loc
+        flat = self._flatten_buffer(rollout, returns, advantages)
         mb = max(1, self.group_mb // self.n_shards)
         mb = min(mb, T_E)
         n_full = T_E // mb
@@ -548,22 +567,24 @@ class POCATrainer:
     # ── split-update path (one device program per minibatch) ──────
 
     def _prep_update_fn(self, rollout: Rollout, bootstrap):
-        """Returns/advantages + flattened buffer views for minibatching."""
+        """Returns/advantages + flattened buffer for minibatching.
+
+        The rollout is DONATED into this program (its buffers are reused
+        for the flat arrays rather than held alongside them — the split
+        path's equivalent of the fused program's rollout donation); the
+        per-step stats the outer loop needs are re-emitted as outputs.
+        """
         c = self.cfg
         returns, advantages = buf.compute_advantages(rollout, bootstrap,
                                                      c.gamma, c.lam)
         advantages = buf.normalize_advantages(advantages)
-        flat = {
-            "obs": buf.flatten_time_env(rollout.obs),
-            "critic_states": buf.flatten_time_env(rollout.critic_states),
-            "actions": buf.flatten_time_env(rollout.actions),
-            "old_log_probs": buf.flatten_time_env(rollout.log_probs),
-            "advantages": buf.flatten_time_env(advantages),
-            "returns": returns.reshape(-1),
-            "old_team_values": buf.flatten_time_env(rollout.team_values),
-            "old_baselines": buf.flatten_time_env(rollout.baselines),
+        stats = {
+            "rewards": rollout.rewards,
+            "dones": rollout.dones,
+            "mean_team_value": rollout.team_values.mean(),
         }
-        return flat, jnp.abs(advantages).mean()
+        flat = self._flatten_buffer(rollout, returns, advantages)
+        return flat, jnp.abs(advantages).mean(), stats
 
     def _mb_step_fn(self, train_state, flat, idx, eps, beta):
         batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
@@ -574,7 +595,7 @@ class POCATrainer:
         """Same epochs/minibatches/permutations as the fused update, driven
         from the host so no single device program exceeds one minibatch."""
         c = self.cfg
-        flat, mean_abs_adv = self._prep_update_jit(rollout, bootstrap)
+        flat, mean_abs_adv, stats = self._prep_update_jit(rollout, bootstrap)
 
         opt_state = self.train_state.opt_state
         # copy: train_state is donated per minibatch step, and the caller
@@ -608,21 +629,18 @@ class POCATrainer:
             "baseline_loss": metrics_v[2], "entropy": metrics_v[3],
             "mean_abs_advantage": mean_abs_adv,
         }
-        return train_state, metrics
+        return train_state, metrics, stats
 
     def _train_iteration_split(self, env_state, obs, actor_carry, lr, eps, beta):
         key, k_up = jax.random.split(self.key)
         (env_state, obs, actor_carry, key, rollout, bootstrap,
          aux) = self._rollout_jit(self.train_state.params, env_state, obs,
                                   actor_carry, key)
-        train_state, metrics = self._update_split(rollout, bootstrap,
-                                                  lr, eps, beta, k_up)
-        stats = {
-            "rewards": rollout.rewards,
-            "dones": rollout.dones,
-            "completed_group": aux[2],
-            "mean_team_value": rollout.team_values.mean(),
-        }
+        # rollout is donated into the update prep; per-step stats come back
+        # out of it (plus the env-side completed-reward snapshot from aux)
+        train_state, metrics, stats = self._update_split(
+            rollout, bootstrap, lr, eps, beta, k_up)
+        stats["completed_group"] = aux[2]
         self.train_state = train_state
         self.key = key
         return env_state, obs, actor_carry, metrics, stats
@@ -686,10 +704,13 @@ class POCATrainer:
                 epoch_key, k_perm = jax.random.split(epoch_key)
                 perm = jax.random.permutation(k_perm, W)
 
-                def mb_fn(ts, idx, _batch_all=batch_all):
+                def mb_fn(ts, idx, _batch_all=batch_all, _L=L):
                     batch = jax.tree_util.tree_map(lambda x: x[idx], _batch_all)
+                    # each BPTT-window row holds L arena timesteps, so the
+                    # accumulation cap counts groups_per_row=L
                     return self._sgd_step(ts, batch, eps, beta,
-                                          self._recurrent_loss)
+                                          self._recurrent_loss,
+                                          groups_per_row=_L)
 
                 idxs = perm[: n_full * seq_bs].reshape(n_full, seq_bs)
                 train_state, auxs = jax.lax.scan(mb_fn, train_state, idxs)
@@ -881,6 +902,11 @@ class POCATrainer:
             if checkpointer is not None and self.global_step >= next_checkpoint:
                 next_checkpoint += c.checkpoint_interval
                 checkpointer.save(self)
+
+        if profile_dir is not None and iteration >= 2:
+            # run ended before iteration 4 — close the trace so it's written
+            jax.profiler.stop_trace()
+            print(f"[POCA] profiler trace → {profile_dir}", flush=True)
 
         if checkpointer is not None:
             checkpointer.save(self, final=True)
