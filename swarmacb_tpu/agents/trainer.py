@@ -895,6 +895,18 @@ class POCATrainer:
                       f"bl={m['baseline_loss']:.3f} ent={m['entropy']:.3f} "
                       f"SPS={sps:,.0f}", flush=True)
 
+            # numerics guard (SURVEY §5 "race detection / sanitizers" row):
+            # a NaN loss means diverged training — stop at the iteration it
+            # appears instead of burning the rest of the budget
+            bad = [k for k in ("policy_loss", "value_loss", "baseline_loss")
+                   if not np.isfinite(m[k])]
+            if bad:
+                if checkpointer is not None:
+                    checkpointer.save(self)
+                raise FloatingPointError(
+                    f"non-finite {bad} at step {self.global_step:,} — "
+                    "diverged; last checkpoint saved")
+
             if self.writer is not None and self.global_step >= next_summary:
                 next_summary += c.summary_freq
                 self._write_summaries(m, sps)
