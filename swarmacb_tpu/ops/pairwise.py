@@ -67,15 +67,19 @@ def _sensor_kernel(px_ref, py_ref, cy_ref, sy_ref,
 
     cos_a = np.cos(EPUCK_SENSOR_ANGLES)     # (8,) python consts
     sin_a = np.sin(EPUCK_SENSOR_ANGLES)
-    inv_dist_p = 1.0 / (dist_p + 1e-8)
     inv_range = 1.0 / prox_range
+    # cone test dot/(dist+1e-8) > 0.9659 rewritten as dot > 0.9659·(dist+1e-8)
+    # — one shared rhs tile instead of a per-sensor N² multiply (the rhs is
+    # positive, so the inequality is exactly equivalent in real arithmetic;
+    # fp rounding can differ only within ~1 ulp of the 15° boundary)
+    cone_rhs = 0.9659 * (dist_p + 1e-8)
+    base_mask = in_range_p & ~is_self
     for s in range(8):
         # world-frame sensor dir for sensor s: (N, 128)
         wdx = cos_a[s] * cos_y - sin_a[s] * sin_y
         wdy = cos_a[s] * sin_y + sin_a[s] * cos_y
         dot = wdx[:, None, :] * dx + wdy[:, None, :] * dy
-        cos_angle = dot * inv_dist_p
-        hit = in_range_p & (cos_angle > 0.9659) & ~is_self
+        hit = base_mask & (dot > cone_rhs)
         reading = jnp.where(hit, reading_val, jnp.zeros_like(reading_val))
         out = reading.max(axis=1)
 
