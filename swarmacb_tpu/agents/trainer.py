@@ -829,19 +829,41 @@ class POCATrainer:
         host = {k: float(v) for k, v in metrics.items()}
         host["lr"], host["eps"], host["beta"] = float(lr), float(eps), float(beta)
         self._accumulate_episode_stats(stats)
-        host["mean_rollout_reward"] = float(np.asarray(stats["rewards"]).sum(0).mean())
-        host["mean_step_reward"] = float(np.asarray(stats["rewards"]).mean())
+        local_rewards = self._host_local(stats["rewards"])
+        host["mean_rollout_reward"] = float(local_rewards.sum(0).mean())
+        host["mean_step_reward"] = float(local_rewards.mean())
         host["mean_team_value"] = float(stats["mean_team_value"])
         self._rollout_reward_history.append(host["mean_rollout_reward"])
         if len(self._rollout_reward_history) > self._max_history:
             self._rollout_reward_history.pop(0)
         return env_state, obs, actor_carry, host
 
+    @staticmethod
+    def _host_local(x):
+        """Fetch the host-addressable part of a (T, E) array.
+
+        Single-process (or fully-replicated) arrays come back whole; under
+        multi-process meshes each host gets ITS env-shard columns — episode
+        accounting and TB metrics are host-local by design (multi-host
+        aggregation would serialize every host's stats through one writer
+        for no learning-relevant gain; the learner itself is all-reduced).
+        """
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shards = sorted(x.addressable_shards,
+                            key=lambda s: s.index[-1].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards],
+                                  axis=-1)
+        return np.asarray(x)
+
     def _accumulate_episode_stats(self, stats):
         """Episode returns/lengths across auto-resets (poca_trainer.py:498-515)."""
-        rewards = np.asarray(stats["rewards"])    # (T, E)
-        dones = np.asarray(stats["dones"])
-        completed = np.asarray(stats["completed_group"])
+        rewards = self._host_local(stats["rewards"])    # (T, E_local)
+        dones = self._host_local(stats["dones"])
+        completed = self._host_local(stats["completed_group"])
+        if self._episode_reward_acc.shape[0] != rewards.shape[1]:
+            # multi-process: this host accounts only its local env shard
+            self._episode_reward_acc = np.zeros(rewards.shape[1])
+            self._episode_step_count = np.zeros(rewards.shape[1])
         dp = self.cfg.decision_period
         for t in range(rewards.shape[0]):
             self._episode_reward_acc += rewards[t]
