@@ -100,3 +100,31 @@ def test_pairwise_sensors_fused_raycast_matches_jnp():
 
     assert np.asarray(wall).max() > 0, "poses never see a wall — weak test"
     np.testing.assert_allclose(np.asarray(prox), np.asarray(ref_prox), atol=2e-6)
+
+
+def test_pairwise_sensors_larger_swarm():
+    """The arena-on-lanes layout is N-agnostic — verify at N=40 (2x the
+    mission's swarm) against the jnp path, walls fused."""
+    pos, yaw = _poses(E=3, N=40, seed=5)
+    wdx, wdy = sensors.sensor_world_dirs(yaw)
+    wall = sensors.raycast_segments(pos, wdx, wdy, ENV.wall_segments,
+                                    CFG.prox_range)
+    robot = sensors.detect_robots_proximity(pos, wdx, wdy, CFG.prox_range,
+                                            CFG.robot_radius)
+    ref_prox = jnp.maximum(wall, robot)
+    ref_z, ref_proj, ref_ax, ref_ay = sensors.compute_rab(
+        pos, yaw, CFG.rab_range, CFG.alpha_parameter)
+
+    prox, z, proj, ax, ay = pairwise_sensors(
+        pos, yaw, prox_range=CFG.prox_range, robot_radius=CFG.robot_radius,
+        rab_range=CFG.rab_range, alpha_rab=CFG.alpha_parameter,
+        wall_segments=ENV.wall_segments, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(prox), np.asarray(ref_prox), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_z), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(ref_proj), atol=5e-5)
+
+    ref_coll = physics.resolve_robot_collisions(pos, CFG.robot_radius)
+    ours_coll = resolve_robot_collisions(pos, CFG.robot_radius, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours_coll), np.asarray(ref_coll),
+                               atol=2e-6)
