@@ -59,6 +59,15 @@ env_state, obs, carry = trainer.place_on_mesh(env_state, obs, ())
 for _ in range(2):
     env_state, obs, carry, metrics = trainer.train_iteration(env_state, obs, carry)
 
+# multi-host orbax checkpointing (all processes participate; shared FS)
+from swarmacb_tpu.agents import Checkpointer
+ckpt = Checkpointer(os.environ["CKPT_DIR"], keep=2)
+ckpt.save(trainer, final=True)
+step_before = trainer.global_step
+trainer.global_step = 0
+ckpt.restore(os.path.join(os.environ["CKPT_DIR"], "poca_final"), trainer)
+assert trainer.global_step == step_before, (trainer.global_step, step_before)
+
 # digest of (replicated) params — must match across processes
 leaves = jax.tree_util.tree_leaves(trainer.train_state.params)
 digest = float(sum(np.abs(np.asarray(jax.device_get(l))).sum() for l in leaves))
@@ -87,6 +96,7 @@ def test_two_process_training_lockstep(tmp_path):
             COORD=coord,
             PROC_ID=str(pid),
             SWARMACB_ROOT=str(ROOT),
+            CKPT_DIR=str(tmp_path / "ckpt"),
             JAX_PLATFORMS="cpu",
             XLA_FLAGS=(env.get("XLA_FLAGS", "")
                        + " --xla_force_host_platform_device_count=4").strip(),
