@@ -38,6 +38,13 @@ def main():
     p.add_argument("--episode_length", type=float, default=None,
                    help="Override episode length in seconds (default: the "
                         "mission's 120 s; shorter is useful for smoke tests)")
+    p.add_argument("--render", action="store_true",
+                   help="pygame viewer of arena 0 while evaluating (the "
+                        "TPU-native stand-in for the reference's Isaac "
+                        "viewport playback, play.py:146-213 + the C24 "
+                        "marker visuals, directional_gate_env.py:261-310)")
+    p.add_argument("--hz", type=float, default=10.0,
+                   help="render frame rate (with --render)")
     args = p.parse_args()
 
     import jax
@@ -117,6 +124,67 @@ def main():
             env_actions = (jnp.clip(a, -3.0, 3.0) / 3.0).reshape(E, N, -1)
         return env_actions, carry
 
+    # ── optional pygame viewer over arena 0 ───────────────────────
+    draw = None
+    if args.render:
+        import math
+
+        import pygame
+
+        cfg = env.cfg
+        pygame.init()
+        W, H = 780, 760
+        screen = pygame.display.set_mode((W, H))
+        pygame.display.set_caption(f"SwarmACB-TPU — play {variant}")
+        font = pygame.font.SysFont("monospace", 14)
+        clock = pygame.time.Clock()
+        SCALE, CX, CY = 270.0, W // 2, H // 2
+
+        def w2s(x, y):
+            return int(CX + x * SCALE), int(CY - y * SCALE)
+
+        R0 = cfg.arena_circumradius
+        verts = [w2s(R0 * math.cos(2 * math.pi * i / 12 + math.pi / 12),
+                     R0 * math.sin(2 * math.pi * i / 12 + math.pi / 12))
+                 for i in range(12)]
+        ni, cs, gs = cfg.north_inradius, cfg.corridor_south_y, cfg.gate_south_y
+        ghw, chw = cfg.gate_width / 2, cfg.corridor_width / 2
+
+        def draw(state, step_i, ret0):
+            for ev in pygame.event.get():
+                if ev.type == pygame.QUIT or (
+                        ev.type == pygame.KEYDOWN and ev.key == pygame.K_ESCAPE):
+                    pygame.quit()
+                    sys.exit(0)
+            screen.fill((60, 60, 60))
+            pygame.draw.polygon(screen, (115, 115, 115), verts)
+            pygame.draw.rect(screen, (240, 240, 240),
+                             (*w2s(-ghw, cs), int(2 * ghw * SCALE),
+                              int((cs - gs) * SCALE)))
+            pygame.draw.rect(screen, (20, 20, 20),
+                             (*w2s(-chw, ni), int(2 * chw * SCALE),
+                              int((ni - cs) * SCALE)))
+            pygame.draw.polygon(screen, (200, 180, 100), verts, 3)
+            for sx in (-chw, chw):
+                pygame.draw.line(screen, (220, 100, 50), w2s(sx, gs),
+                                 w2s(sx, gs + cfg.side_wall_length), 3)
+            pygame.draw.circle(screen, (230, 40, 40), w2s(*env.light_pos), 9)
+            pos = np.asarray(state.pos[0])
+            yaw = np.asarray(state.yaw[0])
+            for i in range(N):
+                cx, cy = w2s(pos[i, 0], pos[i, 1])
+                pygame.draw.circle(screen, (80, 140, 220), (cx, cy),
+                                   max(3, int(cfg.robot_radius * SCALE)))
+                hx = pos[i, 0] + 1.6 * cfg.robot_radius * math.cos(yaw[i])
+                hy = pos[i, 1] + 1.6 * cfg.robot_radius * math.sin(yaw[i])
+                pygame.draw.line(screen, (255, 255, 120), (cx, cy),
+                                 w2s(hx, hy), 2)
+            hud = (f"step {step_i}   ep return[env0] {ret0:+.0f}   "
+                   f"episodes {len(returns)}/{args.num_episodes}")
+            screen.blit(font.render(hud, True, (230, 230, 230)), (16, 12))
+            pygame.display.flip()
+            clock.tick(args.hz)
+
     key = jax.random.PRNGKey(args.seed)
     key, k_reset = jax.random.split(key)
     state, obs = env.reset(k_reset)
@@ -127,6 +195,7 @@ def main():
     ep_ret = np.zeros(E)
     ep_len = np.zeros(E)
 
+    step_i = 0
     while len(returns) < args.num_episodes:
         key, k_act = jax.random.split(key)
         actions, carry = policy(obs, carry, k_act)
@@ -134,6 +203,9 @@ def main():
         obs = ts.obs
         ep_ret += np.asarray(ts.reward)
         ep_len += 1
+        step_i += 1
+        if draw is not None:
+            draw(state, step_i, ep_ret[0])
         done = np.asarray(ts.done)
         if done.any():
             returns.extend(ep_ret[done].tolist())

@@ -86,11 +86,23 @@ class Checkpointer:
 
     @staticmethod
     def restore_params(path: str | Path):
-        """Restore just the params tree (for play/eval) — target-free
-        restore returns the arrays exactly as saved."""
+        """Restore just the params tree (for play/eval).
+
+        Builds the restore target from the checkpoint's own shape/dtype
+        metadata but pins the sharding to a local device, so a checkpoint
+        written on one backend (e.g. a TPU training host) restores on
+        another (e.g. a CPU eval machine) — a target-free restore would
+        instead try to recreate the saved TPU sharding and fail with
+        "Device ... was not found in jax.local_devices()".
+        """
         path = Path(path).absolute()
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path)
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        target = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            ckptr.metadata(path).item_metadata,
+        )
+        restored = ckptr.restore(path, target)
         return restored["params"]
 
     def latest(self) -> Path | None:

@@ -56,6 +56,24 @@ def test_train_and_play_cli(tmp_run):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "Evaluation results" in r2.stdout
 
+    # --render viewer path (headless SDL driver), one short episode
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SDL_VIDEODRIVER"] = "dummy"
+    r3 = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "play.py"),
+         "--checkpoint", str(final),
+         "--num_envs", "1",
+         "--num_episodes", "1",
+         "--episode_length", "5",
+         "--platform", "cpu",
+         "--render", "--hz", "1000",
+         "--deterministic"],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert "Evaluation results" in r3.stdout
+
 
 def test_manual_control_smoke(tmp_run):
     env = dict(os.environ)
