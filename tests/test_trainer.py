@@ -141,6 +141,24 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_restore_params_metadata_target(tmp_path):
+    """restore_params builds its target from checkpoint metadata pinned to a
+    local device (so TPU-saved checkpoints restore on CPU-only hosts); the
+    restored params tree must match the saved one exactly."""
+    trainer = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    ck = Checkpointer(tmp_path, keep=2)
+    path = ck.save(trainer, final=True)
+
+    params = Checkpointer.restore_params(path)
+    saved = jax.tree_util.tree_leaves_with_path(trainer.train_state.params)
+    restored = jax.tree_util.tree_leaves_with_path(params)
+    assert len(saved) == len(restored) and len(saved) > 0
+    for (pa, a), (pb, b) in zip(saved, restored):
+        assert pa == pb
+        assert b.sharding.device_set <= set(jax.local_devices())
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_rotation(tmp_path):
     trainer = POCATrainer(tiny_env("tulip"), tiny_cfg())
     ck = Checkpointer(tmp_path, keep=2)
