@@ -11,11 +11,18 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
 def _run(args, cwd, timeout=600):
+    # NB: the JAX_PLATFORMS env var is silently ignored on hosts whose
+    # sitecustomize pre-imports jax (measured: default_backend() is still
+    # "tpu" with JAX_PLATFORMS=cpu set) — the CLIs' --platform flag uses
+    # jax.config.update, which does work, so pass it explicitly.
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # conftest exports XLA_FLAGS=--xla_force_host_platform_device_count=8 for
+    # the in-process mesh tests; a CLI subprocess forced to CPU would then see
+    # 8 virtual devices and auto-build an 8-way data mesh — drop it.
+    env.pop("XLA_FLAGS", None)
     return subprocess.run(
-        [sys.executable, *args], cwd=cwd, env=env,
-        capture_output=True, text=True, timeout=timeout,
+        [sys.executable, *args, "--platform", "cpu"], cwd=cwd,
+        env=env, capture_output=True, text=True, timeout=timeout,
     )
 
 
@@ -58,7 +65,7 @@ def test_train_and_play_cli(tmp_run):
 
     # --render viewer path (headless SDL driver), one short episode
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
     env["SDL_VIDEODRIVER"] = "dummy"
     r3 = subprocess.run(
         [sys.executable, str(ROOT / "scripts" / "play.py"),
