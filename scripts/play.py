@@ -97,7 +97,9 @@ def main():
         abstract = actor.init(jax.random.PRNGKey(0),
                               jnp.zeros((2, meta["obs_dim"])))["params"]
 
-    del abstract  # shapes are implied by metadata; restore is target-free
+    # shapes come from the checkpoint's own metadata: restore_params builds
+    # a restore target from it, pinned to a local device (cross-backend)
+    del abstract
     params = Checkpointer.restore_params(args.checkpoint)
     actor_params = params["actor"]
     print(f"[play] restored {args.checkpoint}  variant={variant} "

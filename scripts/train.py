@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="Force a JAX platform (tpu/cpu)")
+    p.add_argument("--use_pallas", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Fused Pallas sensor/collision kernels for the env "
+                        "step (ops/pairwise.py). 'auto' = on when the "
+                        "backend is TPU (default), off elsewhere")
     p.add_argument("--distributed", action="store_true",
                    help="Initialize jax.distributed for multi-host training")
     p.add_argument("--data_parallel", type=str, default="auto",
@@ -123,6 +128,12 @@ def main():
         env_kw["num_envs"] = env_overrides["num_envs"]
     if "episode_length_s" in env_overrides:
         env_kw["episode_length_s"] = env_overrides["episode_length_s"]
+    if args.use_pallas == "auto":
+        env_kw["use_pallas"] = jax.default_backend() == "tpu"
+    else:
+        env_kw["use_pallas"] = args.use_pallas == "on"
+    if env_kw["use_pallas"]:
+        print("[train] Pallas sensor/collision kernels: ON")
     env = make_env(args.task, **env_kw)
 
     # ── Device mesh: env batch data-parallel over all chips ────────

@@ -26,8 +26,15 @@ class Checkpointer:
         self._ckptr = ocp.StandardCheckpointer()
 
     # ── save ──────────────────────────────────────────────────────
-    def save(self, trainer, final: bool = False):
-        name = "poca_final" if final else f"poca_{trainer.global_step}"
+    def save(self, trainer, final: bool = False, quarantine: bool = False):
+        """``quarantine``: save under ``poca_diverged_<step>`` — kept for
+        post-mortem but excluded from ``latest()`` and rotation, so a
+        divergence never becomes the auto-resume point nor evicts the
+        last good checkpoint."""
+        if quarantine:
+            name = f"poca_diverged_{trainer.global_step}"
+        else:
+            name = "poca_final" if final else f"poca_{trainer.global_step}"
         path = self.dir / name
         payload = {
             "params": trainer.train_state.params,
@@ -35,28 +42,37 @@ class Checkpointer:
         }
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()  # orbax saves asynchronously
-        meta = dict(trainer.checkpoint_metadata())
-        meta.update(global_step=trainer.global_step,
-                    update_count=trainer.update_count)
-        (path / "metadata.json").write_text(json.dumps(meta))
-        print(f"[POCA] Saved → {path}")
-        if not final:
-            self._rotate()
+        # In multi-process runs orbax coordinates the array save across
+        # hosts, but the sidecar metadata write and rotation are plain
+        # filesystem ops — run them on process 0 only (after the barrier
+        # above) so concurrent writers can't race on a shared filesystem.
+        if jax.process_index() == 0:
+            meta = dict(trainer.checkpoint_metadata())
+            meta.update(global_step=trainer.global_step,
+                        update_count=trainer.update_count)
+            (path / "metadata.json").write_text(json.dumps(meta))
+            print(f"[POCA] Saved → {path}")
+            if not (final or quarantine):
+                self._rotate()
         return path
+
+    @staticmethod
+    def _is_numbered(p: Path) -> bool:
+        """poca_<step> directories — the resumable, rotatable set."""
+        tail = p.name.removeprefix("poca_")
+        return p.is_dir() and tail.isdigit()
 
     def _rotate(self):
         if self.keep <= 0:
             return
-        numbered = sorted(
-            (p for p in self.dir.glob("poca_*") if p.is_dir()
-             and p.name != "poca_final"),
-            key=lambda p: p.stat().st_mtime,
-        )
+        numbered = sorted((p for p in self.dir.glob("poca_*")
+                           if self._is_numbered(p)),
+                          key=lambda p: p.stat().st_mtime)
         while len(numbered) > self.keep:
             old = numbered.pop(0)
             import shutil
 
-            shutil.rmtree(old)
+            shutil.rmtree(old, ignore_errors=True)
             print(f"[POCA] Removed old checkpoint → {old.name}")
 
     # ── restore ───────────────────────────────────────────────────
@@ -106,8 +122,11 @@ class Checkpointer:
         return restored["params"]
 
     def latest(self) -> Path | None:
-        numbered = sorted(
-            (p for p in self.dir.glob("poca_*") if p.is_dir()),
+        """Newest resumable checkpoint: numbered ones and ``poca_final``
+        (quarantined ``poca_diverged_*`` saves never auto-resume)."""
+        candidates = sorted(
+            (p for p in self.dir.glob("poca_*")
+             if self._is_numbered(p) or (p.is_dir() and p.name == "poca_final")),
             key=lambda p: p.stat().st_mtime,
         )
-        return numbered[-1] if numbered else None
+        return candidates[-1] if candidates else None

@@ -417,37 +417,42 @@ class POCATrainer:
     #  update
     # ──────────────────────────────────────────────────────────────
 
-    def _grad_chunks(self, batch_rows: int, groups_per_row: int = 1) -> int:
-        """Number of equal gradient-accumulation chunks for a minibatch of
+    def _chunk_rows(self, batch_rows: int, groups_per_row: int = 1) -> int:
+        """Rows per gradient-accumulation chunk for a minibatch of
         ``batch_rows`` rows of ``groups_per_row`` arena timesteps each
         (1 for feedforward; the BPTT window length for recurrent batches,
         so the cap is honoured in GROUPS either way — see
-        POCAConfig.accum_chunk_groups)."""
+        POCAConfig.accum_chunk_groups). Returns ``batch_rows`` (no
+        chunking) when the whole batch fits under the cap."""
         cap = self.cfg.accum_chunk_groups
         if cap <= 0 or batch_rows * groups_per_row <= cap:
-            return 1
-        cap_rows = max(1, cap // groups_per_row)
-        target = -(-batch_rows // cap_rows)
-        n = target
-        # equal chunks require a divisor; a pathological row count with no
-        # divisor near the target (e.g. prime) would otherwise degenerate
-        # into thousands of single-row passes — bound the search and fall
-        # back to the full batch instead
-        while batch_rows % n and n <= 4 * target:
-            n += 1
-        return n if batch_rows % n == 0 else 1
+            return batch_rows
+        return max(1, cap // groups_per_row)
+
+    def _grad_chunks(self, batch_rows: int, groups_per_row: int = 1) -> int:
+        """Number of gradient-accumulation passes (incl. a possible
+        shorter tail chunk) the minibatch will be split into."""
+        rows = self._chunk_rows(batch_rows, groups_per_row)
+        return -(-batch_rows // rows)
 
     def _sgd_step(self, train_state: TrainState, batch, eps, beta, loss_fn,
                   groups_per_row: int = 1):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         B = jax.tree_util.tree_leaves(batch)[0].shape[0]
-        n_chunks = self._grad_chunks(B, groups_per_row)
-        if n_chunks == 1:
+        rows = self._chunk_rows(B, groups_per_row)
+        if rows >= B:
             (_, aux), grads = grad_fn(train_state.params, batch, eps, beta)
         else:
-            # exact chunked accumulation: equal chunks, averaged gradients
-            chunked = jax.tree_util.tree_map(
-                lambda x: x.reshape(n_chunks, B // n_chunks, *x.shape[1:]),
+            # exact chunked accumulation: chunk means weighted by row count
+            # (every loss term is a per-element mean with a fixed element
+            # count per row, so Σᵢ wᵢ·meanᵢ with wᵢ = rowsᵢ/B equals the
+            # full-batch mean — and likewise for its gradient). The tail
+            # chunk (B mod rows) gets its own weighted pass, so the
+            # activation-memory cap holds for ANY minibatch size.
+            n_full, rem = divmod(B, rows)
+            head = jax.tree_util.tree_map(
+                lambda x: x[: n_full * rows].reshape(n_full, rows,
+                                                     *x.shape[1:]),
                 batch)
 
             def chunk_fn(carry, ch):
@@ -458,9 +463,19 @@ class POCATrainer:
 
             g0 = jax.tree_util.tree_map(jnp.zeros_like, train_state.params)
             (g_sum, aux_sum), _ = jax.lax.scan(
-                chunk_fn, (g0, jnp.zeros(4)), chunked)
-            grads = jax.tree_util.tree_map(lambda g: g / n_chunks, g_sum)
-            aux = tuple(aux_sum / n_chunks)
+                chunk_fn, (g0, jnp.zeros(4)), head)
+            w_full = rows / B
+            grads = jax.tree_util.tree_map(lambda g: g * w_full, g_sum)
+            aux_v = aux_sum * w_full
+            if rem:
+                tail = jax.tree_util.tree_map(lambda x: x[n_full * rows:],
+                                              batch)
+                (_, aux_t), g_t = grad_fn(train_state.params, tail, eps, beta)
+                w_tail = rem / B
+                grads = jax.tree_util.tree_map(
+                    lambda a, b: a + b * w_tail, grads, g_t)
+                aux_v = aux_v + jnp.stack(aux_t) * w_tail
+            aux = tuple(aux_v)
         if self.mesh is not None:
             # data-parallel learner: all-reduce gradients over the mesh
             # (each shard's loss is a mean over its local minibatch slice,
@@ -923,11 +938,17 @@ class POCATrainer:
             bad = [k for k in ("policy_loss", "value_loss", "baseline_loss")
                    if not np.isfinite(m[k])]
             if bad:
+                msg = (f"non-finite {bad} at step {self.global_step:,} — "
+                       "diverged")
                 if checkpointer is not None:
-                    checkpointer.save(self)
-                raise FloatingPointError(
-                    f"non-finite {bad} at step {self.global_step:,} — "
-                    "diverged; last checkpoint saved")
+                    # quarantined save for post-mortem: excluded from
+                    # latest()/rotation so `--checkpoint latest` resumes
+                    # from the last GOOD periodic checkpoint, not the
+                    # diverged params
+                    path = checkpointer.save(self, quarantine=True)
+                    msg += (f"; diverged params quarantined at {path}, "
+                            "resume from the last periodic checkpoint")
+                raise FloatingPointError(msg)
 
             if self.writer is not None and self.global_step >= next_summary:
                 next_summary += c.summary_freq

@@ -110,10 +110,11 @@ class DirectionalGateEnvCfg:
 
     # Use the fused Pallas TPU kernels (ops/pairwise.py) for the N² robot
     # proximity + RAB sensor pass and the robot collision push-out, instead
-    # of the jnp path. Measured at parity with XLA's fusion at N=20
-    # (BENCH_NOTES.md); off by default, and the bearing trig uses rsqrt
-    # normalization instead of atan2 (Pallas has no atan2 lowering) —
-    # ~4e-4 max deviation on rab_proj.
+    # of the jnp path (~15-20% faster env step at E≥16k, BENCH_NOTES.md).
+    # Off by default here so CPU paths stay kernel-free; scripts/train.py
+    # auto-enables it when the backend is TPU (--use_pallas). The bearing
+    # trig uses NR-refined rsqrt normalization instead of atan2 (no Pallas
+    # lowering) — ≤1e-6 deviation on rab_proj vs the jnp path.
     use_pallas: bool = False
 
     # ── derived properties ─────────────────────────────────────────

@@ -1,11 +1,15 @@
-"""ML-Agents-schema YAML loader → (run_name, variant, POCAConfig, env overrides).
+"""ML-Agents-schema YAML → (run_name, variant, POCAConfig, env overrides).
 
-Mirrors the reference loader exactly (config_loader.py:29-118): the same
+The reference's five ``configs/DirGate_*.yaml`` files (ML-Agents schema:
 ``behaviors.<run>.{variant, hyperparameters, network_settings(+memory),
 reward_signals.extrinsic, max_steps, time_horizon, summary_freq,
 checkpoint_interval, keep_checkpoints, environment{num_envs,
-decision_period, episode_length_s}}`` schema, so the reference's five
-DirGate YAML files load unmodified. Precedence: YAML → CLI overrides win
+decision_period, episode_length_s}}`` — reference config_loader.py:29-118)
+must load unmodified. Rather than hand-written per-key plumbing, the
+schema lives in one declarative table: each row maps a dotted YAML path
+inside the behavior block to a ``POCAConfig`` field, applied only when the
+key is present (every fallback equals the dataclass default, which the
+config tests pin). Precedence stays YAML → CLI overrides win
 (scripts/train.py).
 """
 
@@ -18,111 +22,132 @@ import yaml
 
 from .poca_cfg import POCAConfig
 
+# (dotted path inside the behavior block) → POCAConfig field.
+# Applied only when the YAML key exists; absent keys keep the dataclass
+# default (reference fallbacks and POCAConfig defaults are identical —
+# guarded by tests/test_config.py).
+_SCHEMA: dict[str, str] = {
+    "hyperparameters.batch_size": "mini_batch_size",
+    "hyperparameters.learning_rate": "lr",
+    "hyperparameters.beta": "beta",
+    "hyperparameters.epsilon": "clip_eps",
+    "hyperparameters.lambd": "lam",
+    "hyperparameters.num_epoch": "num_epochs",
+    "hyperparameters.buffer_size": "buffer_size_hint",
+    "hyperparameters.learning_rate_schedule": "lr_schedule",
+    "hyperparameters.epsilon_schedule": "eps_schedule",
+    "hyperparameters.beta_schedule": "beta_schedule",
+    "network_settings.hidden_units": "hidden_dim",
+    "network_settings.num_layers": "num_layers",
+    "network_settings.memory.memory_size": "memory_size",
+    "network_settings.memory.sequence_length": "sequence_length",
+    "reward_signals.extrinsic.gamma": "gamma",
+    "reward_signals.extrinsic.strength": "reward_strength",
+    "max_steps": "total_timesteps",
+    "time_horizon": "horizon",
+    "summary_freq": "summary_freq",
+    "checkpoint_interval": "checkpoint_interval",
+    "keep_checkpoints": "keep_checkpoints",
+    "environment.decision_period": "decision_period",
+}
+
+# ``environment`` keys that belong to the env config, not the trainer.
+_ENV_OVERRIDE_KEYS = ("num_envs", "episode_length_s")
+
+_MISSING = object()
+
+
+def _dig(tree: dict, dotted: str):
+    """Fetch a dotted path from nested dicts; _MISSING when absent."""
+    node: Any = tree
+    for part in dotted.split("."):
+        if not isinstance(node, dict) or part not in node:
+            return _MISSING
+        node = node[part]
+    return node
+
 
 def load_config(path: str | Path) -> tuple[str, str, POCAConfig, dict[str, Any]]:
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"Config file not found: {path}")
-
-    with open(path, "r", encoding="utf-8") as f:
-        raw = yaml.safe_load(f)
+    raw = yaml.safe_load(path.read_text(encoding="utf-8"))
 
     behaviors = raw.get("behaviors", raw)
     if not behaviors:
         raise ValueError("Config must have a top-level 'behaviors' key.")
-
     run_name = next(iter(behaviors))
     block = behaviors[run_name]
-
     variant = block.get("variant", "dandelion")
-    hypers = block.get("hyperparameters", {})
-    network = block.get("network_settings", {})
-    reward = block.get("reward_signals", {})
-    environment = block.get("environment", {})
 
     cfg = POCAConfig()
+    for dotted, field in _SCHEMA.items():
+        value = _dig(block, dotted)
+        if value is not _MISSING:
+            setattr(cfg, field, value)
 
-    # Hyperparameters (config_loader.py:67-78)
-    cfg.mini_batch_size = hypers.get("batch_size", cfg.mini_batch_size)
-    cfg.lr = hypers.get("learning_rate", cfg.lr)
-    cfg.beta = hypers.get("beta", cfg.beta)
-    cfg.clip_eps = hypers.get("epsilon", cfg.clip_eps)
-    cfg.lam = hypers.get("lambd", cfg.lam)
-    cfg.num_epochs = hypers.get("num_epoch", cfg.num_epochs)
-    cfg.lr_schedule = hypers.get("learning_rate_schedule", "constant")
-    cfg.eps_schedule = hypers.get("epsilon_schedule", "constant")
-    cfg.beta_schedule = hypers.get("beta_schedule", "constant")
+    # a memory block (or the cyclamen variant) switches on the LSTM actor
+    # (reference config_loader.py:84)
+    cfg.recurrent = bool(_dig(block, "network_settings.memory") not in
+                         (_MISSING, None, {})) or variant == "cyclamen"
 
-    # Network (config_loader.py:81-88)
-    cfg.hidden_dim = network.get("hidden_units", cfg.hidden_dim)
-    cfg.num_layers = network.get("num_layers", cfg.num_layers)
-    memory = network.get("memory", {})
-    cfg.recurrent = bool(memory) or variant == "cyclamen"
-    if cfg.recurrent:
-        cfg.memory_size = memory.get("memory_size", cfg.memory_size)
-        cfg.sequence_length = memory.get("sequence_length", cfg.sequence_length)
-
-    # Reward signals (config_loader.py:90-93)
-    extrinsic = reward.get("extrinsic", {})
-    cfg.gamma = extrinsic.get("gamma", cfg.gamma)
-    cfg.reward_strength = extrinsic.get("strength", 1.0)
-
-    # Training control (config_loader.py:95-103)
-    cfg.total_timesteps = block.get("max_steps", cfg.total_timesteps)
-    cfg.horizon = block.get("time_horizon", cfg.horizon)
-    cfg.summary_freq = block.get("summary_freq", 120000)
-    cfg.checkpoint_interval = block.get("checkpoint_interval", 120000)
-    cfg.keep_checkpoints = block.get("keep_checkpoints", 5)
-    cfg.buffer_size_hint = hypers.get("buffer_size", 0)
-
-    # Environment (config_loader.py:105-117)
-    cfg.decision_period = environment.get("decision_period", cfg.decision_period)
+    # run-name-derived output dirs (reference config_loader.py:108-109)
     cfg.log_dir = f"runs/{run_name}"
     cfg.checkpoint_dir = f"checkpoints/{run_name}"
 
-    env_overrides: dict[str, Any] = {}
-    if "num_envs" in environment:
-        env_overrides["num_envs"] = environment["num_envs"]
-    if "episode_length_s" in environment:
-        env_overrides["episode_length_s"] = environment["episode_length_s"]
-
+    environment = block.get("environment", {}) or {}
+    env_overrides = {k: environment[k] for k in _ENV_OVERRIDE_KEYS
+                     if k in environment}
     return run_name, variant, cfg, env_overrides
 
 
-def print_config(run_name: str, variant: str, cfg: POCAConfig, env_ov: dict):
-    """Human-readable config banner (config_loader.py:125-161)."""
-    sep = "─" * 60
-    print(f"\n{sep}")
-    print("  SwarmACB-TPU Training Config")
-    print(sep)
-    print(f"  Run name        : {run_name}")
-    print(f"  CASA variant    : {variant}")
-    print("  Trainer         : POCA (JAX / TPU)")
-    print(sep)
-    print("  Hyperparameters")
-    print(f"    batch_size          : {cfg.mini_batch_size}")
-    print(f"    learning_rate       : {cfg.lr}  (schedule: {cfg.lr_schedule})")
-    print(f"    beta                : {cfg.beta}  (schedule: {cfg.beta_schedule})")
-    print(f"    epsilon             : {cfg.clip_eps}  (schedule: {cfg.eps_schedule})")
-    print(f"    lambd               : {cfg.lam}")
-    print(f"    num_epoch           : {cfg.num_epochs}")
-    print(f"    gamma               : {cfg.gamma}")
-    print("  Network")
-    print(f"    hidden_units        : {cfg.hidden_dim}")
-    print(f"    num_layers          : {cfg.num_layers}")
+# ── banner ──────────────────────────────────────────────────────────────
+# Declarative layout: sections of (label, value-getter, visibility) rows,
+# rendered by one loop. ``None`` getters emit the section title.
+
+def _banner_rows(run_name, variant, cfg: POCAConfig, env_ov: dict):
+    yield None, f"Run name : {run_name}"
+    yield None, f"CASA variant : {variant}"
+    yield None, "Trainer : POCA (JAX / TPU)"
+    yield "Hyperparameters", None
+    yield "batch_size", cfg.mini_batch_size
+    yield "learning_rate", f"{cfg.lr}  (schedule: {cfg.lr_schedule})"
+    yield "beta", f"{cfg.beta}  (schedule: {cfg.beta_schedule})"
+    yield "epsilon", f"{cfg.clip_eps}  (schedule: {cfg.eps_schedule})"
+    yield "lambd", cfg.lam
+    yield "num_epoch", cfg.num_epochs
+    yield "gamma", cfg.gamma
+    yield "Network", None
+    yield "hidden_units", cfg.hidden_dim
+    yield "num_layers", cfg.num_layers
     if cfg.recurrent:
-        print(f"    memory_size         : {cfg.memory_size}")
-        print(f"    sequence_length     : {cfg.sequence_length}")
-    print("  Training")
-    print(f"    max_steps           : {cfg.total_timesteps:,}")
-    print(f"    time_horizon        : {cfg.horizon}")
-    print(f"    decision_period     : {cfg.decision_period}")
-    print(f"    checkpoint_interval : {cfg.checkpoint_interval:,}")
-    print(f"    summary_freq        : {cfg.summary_freq:,}")
+        yield "memory_size", cfg.memory_size
+        yield "sequence_length", cfg.sequence_length
+    yield "Training", None
+    yield "max_steps", f"{cfg.total_timesteps:,}"
+    yield "time_horizon", cfg.horizon
+    yield "decision_period", cfg.decision_period
+    yield "checkpoint_interval", f"{cfg.checkpoint_interval:,}"
+    yield "summary_freq", f"{cfg.summary_freq:,}"
     if cfg.reward_strength != 1.0:
-        print(f"    reward_strength     : {cfg.reward_strength}")
+        yield "reward_strength", cfg.reward_strength
     if env_ov:
-        print("  Environment overrides")
+        yield "Environment overrides", None
         for k, v in env_ov.items():
-            print(f"    {k:22s}: {v}")
-    print(f"{sep}\n")
+            yield k, v
+
+
+def print_config(run_name: str, variant: str, cfg: POCAConfig, env_ov: dict):
+    """Human-readable config banner, rendered from the declarative rows."""
+    rule = "─" * 60
+    lines = [rule]
+    for label, value in _banner_rows(run_name, variant, cfg, env_ov):
+        if label is None:                      # header line
+            lines.append(f"  {value}")
+        elif value is None:                    # section title
+            lines += [rule, f"  {label}"] if label == "Hyperparameters" \
+                else [f"  {label}"]
+        else:
+            lines.append(f"    {label:<20}: {value}")
+    lines.append(rule)
+    print("\n" + "\n".join(lines) + "\n")

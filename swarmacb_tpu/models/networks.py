@@ -235,39 +235,60 @@ class ResidualSelfAttention(nn.Module):
     NEG_INF: float = -1e6
     EPSILON: float = 1e-7
 
-    @nn.compact
-    def __call__(self, inp, key_mask: Optional[jax.Array] = None):
-        B, N, D = inp.shape
+    def setup(self):
+        gain = (0.125 / self.embed) ** 0.5
+        self.fc_q = _dense(self.embed, inits.normal_gain(gain), name="fc_q")
+        self.fc_k = _dense(self.embed, inits.normal_gain(gain), name="fc_k")
+        self.fc_v = _dense(self.embed, inits.normal_gain(gain), name="fc_v")
+        self.fc_out = _dense(self.embed, inits.normal_gain(gain), name="fc_out")
+        # non-affine LayerNorms: no params, so exposing the stages as
+        # separate methods keeps the param tree identical to round 1
+        self.embedding_norm = nn.LayerNorm(use_bias=False, use_scale=False,
+                                           epsilon=1e-5)
+        self.residual_norm = nn.LayerNorm(use_bias=False, use_scale=False,
+                                          epsilon=1e-5)
+
+    def normalize(self, inp):
+        """Pre-norm — PER-ENTITY, so callers may apply it before tiling
+        entity sets (the all_baselines projection dedup)."""
+        return self.embedding_norm(inp)
+
+    def project_qkv(self, x):
+        """Q/K/V projections of normalized entities — also per-entity,
+        hence deduplicable across tiled entity sets."""
+        return self.fc_q(x), self.fc_k(x), self.fc_v(x)
+
+    def attend(self, x, q, k, v, key_mask: Optional[jax.Array] = None):
+        """Attention + residual + pooled output from pre-normalized input
+        ``x`` (B, N, D) and its per-entity projections."""
+        B, N, D = x.shape
         H = self.num_heads
         d = D // H
-        gain = (0.125 / D) ** 0.5
-        proj = lambda name: _dense(D, inits.normal_gain(gain), name=name)
+        qh = q.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, N, H, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, N, H, d).transpose(0, 2, 1, 3)
 
-        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-5,
-                            name="embedding_norm")
-        x = norm(inp)
-
-        q = proj("fc_q")(x).reshape(B, N, H, d).transpose(0, 2, 1, 3)
-        k = proj("fc_k")(x).reshape(B, N, H, d).transpose(0, 2, 1, 3)
-        v = proj("fc_v")(x).reshape(B, N, H, d).transpose(0, 2, 1, 3)
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
                           preferred_element_type=jnp.float32) / math.sqrt(d)
         if key_mask is not None:
             attn = attn + key_mask[:, None, None, :] * self.NEG_INF
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
 
-        output = proj("fc_out")(out) + x
-        output = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-5,
-                              name="residual_norm")(output)
+        output = self.fc_out(out) + x
+        output = self.residual_norm(output)
 
         if key_mask is not None:
             valid = (1.0 - key_mask)[..., None]
             return (output * valid).sum(1) / (valid.sum(1) + self.EPSILON)
         return output.mean(axis=1)
+
+    def __call__(self, inp, key_mask: Optional[jax.Array] = None):
+        x = self.normalize(inp)
+        q, k, v = self.project_qkv(x)
+        return self.attend(x, q, k, v, key_mask)
 
 
 class POCACritic(nn.Module):
@@ -340,20 +361,39 @@ class POCACritic(nn.Module):
         set as the reference's remove-diagonal-and-prepend construction
         (poca_networks.py:583-635), which is order-invariant under
         attention + average pooling.
+
+        Projection dedup (the learner's hot op, SURVEY §3.5): the RSA
+        pre-norm and Q/K/V projections are PER-ENTITY, and the N tiled
+        counterfactual sets share the same 2N distinct embeddings — so LN
+        and Q/K/V run on (B, N, h) twice instead of on the (B·N, N, h)
+        tile, ~N× fewer projection FLOPs for identical per-element math.
         """
         B, N, _ = all_states.shape
+        h = self.hidden
         obs_emb = self.obs_entity_enc(all_states)                       # (B,N,h)
         state_act = jnp.concatenate([all_states, all_actions], axis=-1)
         obs_act_emb = self.obs_act_entity_enc(state_act)                # (B,N,h)
 
-        eye = jnp.eye(N, dtype=bool)[None, :, :, None]                  # (1,N,N,1)
-        tiled_act = jnp.broadcast_to(obs_act_emb[:, None], (B, N, N, self.hidden))
-        tiled_self = jnp.broadcast_to(obs_emb[:, :, None], (B, N, N, self.hidden))
-        entities = jnp.where(eye, tiled_self, tiled_act)                # (B,N,N,h)
+        x_self = self.self_attn.normalize(obs_emb)
+        x_act = self.self_attn.normalize(obs_act_emb)
+        q_s, k_s, v_s = self.self_attn.project_qkv(x_self)
+        q_a, k_a, v_a = self.self_attn.project_qkv(x_act)
 
-        values = self._encode_and_value(
-            entities.reshape(B * N, N, self.hidden), N
-        )                                                               # (B·N,1)
+        eye = jnp.eye(N, dtype=bool)[None, :, :, None]                  # (1,N,N,1)
+
+        def tile(self_e, act_e):
+            t_a = jnp.broadcast_to(act_e[:, None], (B, N, N, h))
+            t_s = jnp.broadcast_to(self_e[:, :, None], (B, N, N, h))
+            return jnp.where(eye, t_s, t_a).reshape(B * N, N, h)
+
+        pooled = self.self_attn.attend(
+            tile(x_self, x_act), tile(q_s, q_a), tile(k_s, k_a),
+            tile(v_s, v_a),
+        )                                                               # (B·N,h)
+        encoding = self.linear_encoder(pooled)
+        nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(N),
+                      dtype=encoding.dtype)
+        values = self.value_head(jnp.concatenate([encoding, nc], axis=-1))
         return values.reshape(B, N)
 
     def __call__(self, all_states, all_actions):

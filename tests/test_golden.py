@@ -32,6 +32,11 @@ CASES = {
     "dandelion": dict(variant="dandelion", num_envs=2, num_agents=8, steps=50),
     "daisy": dict(variant="daisy", num_envs=2, num_agents=8, steps=50),
     "lily": dict(variant="lily", num_envs=2, num_agents=8, steps=50),
+    # tulip/cyclamen differ from lily only in the NETWORK (env_cfg.py:
+    # OBS_DIM/ACT_DIM rows are identical), so these fixtures pin that
+    # path-identity rather than exercise new env code
+    "tulip": dict(variant="tulip", num_envs=2, num_agents=8, steps=50),
+    "cyclamen": dict(variant="cyclamen", num_envs=2, num_agents=8, steps=50),
 }
 
 
@@ -84,7 +89,8 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         FIXTURE_DIR.mkdir(exist_ok=True)
-        for name in CASES:
+        names = sys.argv[2:] or sorted(CASES)
+        for name in names:
             np.savez_compressed(FIXTURE_DIR / f"golden_{name}.npz",
                                 **_run_case(name))
             print("wrote", name)

@@ -207,7 +207,7 @@ def test_rsa_forward_parity(ref_networks):
     np.testing.assert_allclose(np.asarray(out_j), out_t.detach().numpy(), atol=2e-5)
 
 
-def _copy_critic_params(ref):
+def _copy_critic_params(ref, num_layers=2):
     return {"params": {
         "obs_entity_enc": {"encoder": _copy_linear_encoder(ref.obs_entity_enc.encoder.net, 1)},
         "obs_act_entity_enc": {"encoder": _copy_linear_encoder(ref.obs_act_entity_enc.encoder.net, 1)},
@@ -221,7 +221,7 @@ def _copy_critic_params(ref):
             "fc_out": {"kernel": _t2j(ref.self_attn.fc_out.weight),
                        "bias": jnp.asarray(ref.self_attn.fc_out.bias.detach().numpy())},
         },
-        "linear_encoder": _copy_linear_encoder(ref.linear_encoder.net, 2),
+        "linear_encoder": _copy_linear_encoder(ref.linear_encoder.net, num_layers),
         "value_head": {"kernel": _t2j(ref.value_head.weight),
                        "bias": jnp.asarray(ref.value_head.bias.detach().numpy())},
     }}

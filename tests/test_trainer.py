@@ -170,6 +170,48 @@ def test_checkpoint_rotation(tmp_path):
     assert "poca_400" in kept
 
 
+def test_quarantined_checkpoint_never_resumes(tmp_path):
+    """A divergence save is kept for post-mortem under poca_diverged_<step>
+    but excluded from latest() and from rotation (ADVICE r1: the old
+    behaviour made --checkpoint latest restore the diverged params)."""
+    trainer = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    ck = Checkpointer(tmp_path, keep=2)
+    trainer.global_step = 100
+    good = ck.save(trainer)
+    trainer.global_step = 200
+    bad = ck.save(trainer, quarantine=True)
+    assert bad.name == "poca_diverged_200" and bad.exists()
+    assert ck.latest() == good
+    # rotation ignores the quarantined dir and never evicts it
+    for step in (300, 400, 500):
+        trainer.global_step = step
+        ck.save(trainer)
+    names = {p.name for p in tmp_path.glob("poca_*")}
+    assert "poca_diverged_200" in names
+    assert names - {"poca_diverged_200"} == {"poca_400", "poca_500"}
+    assert ck.latest().name == "poca_500"
+
+
+def test_chunked_accumulation_non_divisible():
+    """A minibatch size with no divisor under the cap (prime) is handled by
+    a weighted tail chunk — exact math, no silent full-batch fallback
+    (ADVICE r1)."""
+    # T_E = horizon·E = 7·1 = 7 groups (prime); cap 2 → chunks of 2,2,2,1
+    t_full = POCATrainer(tiny_env("tulip", num_envs=1),
+                         tiny_cfg(horizon=7, mini_batch_size=7,
+                                  accum_chunk_groups=0))
+    t_chunk = POCATrainer(tiny_env("tulip", num_envs=1),
+                          tiny_cfg(horizon=7, mini_batch_size=7,
+                                   accum_chunk_groups=2))
+    assert t_chunk._grad_chunks(7) == 4
+    _run_iters(t_full, n=2)
+    _run_iters(t_chunk, n=2)
+    for a, b in zip(jax.tree_util.tree_leaves(t_full.train_state.params),
+                    jax.tree_util.tree_leaves(t_chunk.train_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_decision_period_substeps():
     env = tiny_env("tulip")
     trainer = POCATrainer(env, tiny_cfg(decision_period=3, horizon=4))

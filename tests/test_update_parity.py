@@ -1,0 +1,416 @@
+"""End-to-end UPDATE-step numerical parity vs the reference trainer.
+
+Round-1 parity covered each piece in isolation (losses, networks,
+λ-returns); this harness closes the last seam (VERDICT r1 missing #2): the
+*assembled* update — λ-returns → advantage normalization → per-dim ratios
+→ minibatch loss → Adam — cross-checked against one real
+``POCATrainer.update()`` of the reference
+(/root/reference/.../agents/poca_trainer.py:648-793), feedforward
+(discrete + continuous) AND recurrent (poca_trainer.py:577-642).
+
+Method: transplant torch-initialized weights into the flax nets (mapping
+proven by tests/test_models.py), feed both trainers a bit-identical
+synthetic rollout, run ``num_epochs`` epochs with ONE minibatch per epoch
+(minibatch = whole buffer ⇒ shuffling is loss-invariant, so torch/jax RNG
+streams don't have to align), and assert
+
+  - per-parameter gradients of the first minibatch loss (before any
+    optimizer step) match elementwise,
+  - the averaged loss metrics of the full update match,
+  - every parameter matches after the full update (3 Adam steps).
+"""
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from swarmacb_tpu.agents import POCAConfig, POCATrainer
+from swarmacb_tpu.agents.buffer import Rollout
+from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
+from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
+
+from test_models import _copy_critic_params, _copy_linear_encoder, _t2j
+
+REF_AGENTS = pathlib.Path(
+    "/root/reference/source/SwarmACB_isaac/SwarmACB_isaac/tasks/direct/agents"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    """Load the reference agents package (trainer + networks + buffer) with
+    working relative imports, straight from the read-only mount."""
+    if not REF_AGENTS.exists():
+        pytest.skip("reference repo not mounted")
+    pkg = types.ModuleType("ref_agents")
+    pkg.__path__ = [str(REF_AGENTS)]
+    sys.modules.setdefault("ref_agents", pkg)
+    mods = {}
+    for name in ("poca_networks", "poca_buffer", "poca_trainer"):
+        full = f"ref_agents.{name}"
+        if full not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                full, REF_AGENTS / f"{name}.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[full] = mod
+            spec.loader.exec_module(mod)
+        mods[name] = sys.modules[full]
+    return types.SimpleNamespace(**mods)
+
+
+# ── stub env handle satisfying the reference trainer's __init__
+#    (poca_trainer.py:183-215: unwrapped.device/scene/cfg + reset()) ────
+
+def _stub_env(E, N, obs_dim, discrete, act_dim=2, num_actions=6):
+    import torch
+
+    agents = tuple(f"epuck_{i}" for i in range(N))
+    cfg = types.SimpleNamespace(
+        num_agents=N, discrete_actions=discrete, num_actions=num_actions,
+        possible_agents=agents,
+        action_spaces={a: act_dim for a in agents},
+    )
+    unwrapped = types.SimpleNamespace(
+        device="cpu", scene=types.SimpleNamespace(num_envs=E), cfg=cfg)
+    env = types.SimpleNamespace(
+        unwrapped=unwrapped,
+        reset=lambda: ({agents[0]: torch.zeros(E, obs_dim)}, {}),
+    )
+    return env
+
+
+def _make_ref_trainer(ref_pkg, tmp_path, *, E, N, obs_dim, discrete,
+                      cfg_kwargs, act_dim=2):
+    env = _stub_env(E, N, obs_dim, discrete, act_dim=act_dim)
+    cfg = ref_pkg.poca_trainer.POCAConfig(
+        log_dir=str(tmp_path / "ref_runs"), **cfg_kwargs)
+    return ref_pkg.poca_trainer.POCATrainer(env, cfg)
+
+
+# ── weight transplant: torch trainer nets → flax param tree ───────────
+
+def _actor_params(ref_trainer, cfg):
+    a = ref_trainer.actor
+    if ref_trainer.recurrent:
+        return {
+            "net": _copy_linear_encoder(a.net.net, cfg.num_layers),
+            "lstm": {
+                "w_ih": _t2j(a.lstm.weight_ih_l0),
+                "w_hh": _t2j(a.lstm.weight_hh_l0),
+                "bias": jnp.asarray(
+                    (a.lstm.bias_ih_l0 + a.lstm.bias_hh_l0).detach().numpy()),
+            },
+            "logits_head": {
+                "kernel": _t2j(a.logits_head.weight),
+                "bias": jnp.asarray(a.logits_head.bias.detach().numpy())},
+        }
+    if ref_trainer.discrete:
+        return {
+            "net": _copy_linear_encoder(a.net, cfg.num_layers),
+            "logits_head": {
+                "kernel": _t2j(a.logits_head.weight),
+                "bias": jnp.asarray(a.logits_head.bias.detach().numpy())},
+        }
+    return {
+        "net": _copy_linear_encoder(a.net, cfg.num_layers),
+        "mu_head": {"kernel": _t2j(a.mu_head.weight),
+                    "bias": jnp.asarray(a.mu_head.bias.detach().numpy())},
+        "log_std": jnp.asarray(a.log_std.detach().numpy()),
+    }
+
+
+def _transplant(trainer: POCATrainer, ref_trainer, cfg):
+    params = {
+        "actor": _actor_params(ref_trainer, cfg),
+        "critic": _copy_critic_params(ref_trainer.critic, cfg.num_layers)["params"],
+    }
+    # keep the flax tree structure (dtype/shape guard)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a).shape, np.asarray(b).shape),
+        trainer.train_state.params, params)
+    trainer.train_state = type(trainer.train_state)(
+        params=params, opt_state=trainer.tx.init(params))
+    return params
+
+
+# ── synthetic rollout, bit-identical on both sides ────────────────────
+
+def _synth_rollout(rng, *, T, E, N, obs_dim, discrete, act_dim=2, mem=0):
+    f32 = np.float32
+    data = dict(
+        obs=rng.normal(size=(T, E, N, obs_dim)).astype(f32),
+        critic_states=rng.normal(size=(T, E, N, 5)).astype(f32) * 0.5,
+        rewards=(rng.normal(size=(T, E)) * 0.5).astype(f32),
+        dones=(rng.random(size=(T, E)) < 0.15).astype(f32),
+        team_values=(rng.normal(size=(T, E)) * 0.5).astype(f32),
+        baselines=(rng.normal(size=(T, E, N)) * 0.5).astype(f32),
+    )
+    if discrete:
+        data["actions"] = rng.integers(0, 6, size=(T, E, N, 1)).astype(f32)
+        data["log_probs"] = rng.uniform(-2.5, -0.5,
+                                        size=(T, E, N, 1)).astype(f32)
+    else:
+        data["actions"] = rng.normal(size=(T, E, N, act_dim)).astype(f32)
+        data["log_probs"] = rng.uniform(-2.5, -0.5,
+                                        size=(T, E, N, act_dim)).astype(f32)
+    if mem:
+        data["memory_h"] = (rng.normal(size=(T, E, N, mem)) * 0.3).astype(f32)
+        data["memory_c"] = (rng.normal(size=(T, E, N, mem)) * 0.3).astype(f32)
+    data["bootstrap"] = (rng.normal(size=(E,)) * 0.5).astype(f32)
+    return data
+
+
+def _fill_ref_buffer(ref_trainer, data):
+    import torch
+
+    t = {k: torch.from_numpy(v) for k, v in data.items()}
+    T = data["obs"].shape[0]
+    for i in range(T):
+        kw = {}
+        if "memory_h" in data:
+            kw = {"memory_h": t["memory_h"][i], "memory_c": t["memory_c"][i]}
+        ref_trainer.buffer.add(
+            t["obs"][i], t["critic_states"][i], t["actions"][i],
+            t["log_probs"][i], t["rewards"][i], t["dones"][i],
+            t["team_values"][i], t["baselines"][i], **kw)
+    ref_trainer.buffer.compute_returns_and_advantages(t["bootstrap"])
+
+
+def _to_rollout(data):
+    j = {k: jnp.asarray(v) for k, v in data.items() if k != "bootstrap"}
+    return Rollout(**j), jnp.asarray(data["bootstrap"])
+
+
+# ── grad comparison ───────────────────────────────────────────────────
+
+def _torch_grad_tree(ref_trainer, cfg):
+    """The torch grads in EXACT flax layout, by temporarily swapping every
+    parameter's ``.data`` with its ``.grad`` and re-running the transplant
+    functions — so the mapping is the proven weight mapping, not a name
+    heuristic."""
+    import torch
+
+    params = list(ref_trainer.actor.parameters()) + \
+        list(ref_trainer.critic.parameters())
+    saved = [p.data for p in params]
+    with torch.no_grad():
+        for p in params:
+            p.data = p.grad if p.grad is not None else torch.zeros_like(p)
+    tree = {"actor": _actor_params(ref_trainer, cfg),
+            "critic": _copy_critic_params(ref_trainer.critic, cfg.num_layers)["params"]}
+    with torch.no_grad():
+        for p, d in zip(params, saved):
+            p.data = d
+    if ref_trainer.recurrent:
+        # flax fuses torch's two LSTM bias vectors (b_ih + b_hh); both
+        # receive the SAME gradient, so the transplant doubles it — halve
+        tree["actor"]["lstm"]["bias"] = tree["actor"]["lstm"]["bias"] / 2.0
+    return tree
+
+
+def _assert_tree_close(ours, theirs, atol, what):
+    def cmp(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(
+            a, b, atol=atol * scale,
+            err_msg=f"{what} mismatch at {jax.tree_util.keystr(path)}")
+
+    jax.tree_util.tree_map_with_path(cmp, ours, theirs)
+
+
+# ── parameter-tree comparison after the update ────────────────────────
+
+def _assert_params_match(trainer, ref_trainer, cfg, atol):
+    after = {
+        "actor": _actor_params(ref_trainer, cfg),
+        "critic": _copy_critic_params(ref_trainer.critic, cfg.num_layers)["params"],
+    }
+
+    def cmp(path, a, b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol,
+            err_msg=f"param drifted after update: {jax.tree_util.keystr(path)}")
+
+    jax.tree_util.tree_map_with_path(cmp, trainer.train_state.params, after)
+
+
+# ── the cases ─────────────────────────────────────────────────────────
+
+def _run_case(ref_pkg, tmp_path, *, variant, discrete, recurrent=False,
+              T=6, E=2, N=4, seed=0):
+    import torch
+
+    torch.manual_seed(seed)
+    obs_dim = 24 if variant == "dandelion" else 4
+    hidden, layers = 16, 1
+    mem = 16 if recurrent else 0
+    cfg_kwargs = dict(
+        horizon=T, num_epochs=3, mini_batch_size=T * E, buffer_size_hint=0,
+        hidden_dim=hidden, num_layers=layers, recurrent=recurrent,
+        memory_size=mem, sequence_length=4, lr=3e-4,
+    )
+    ref_trainer = _make_ref_trainer(
+        ref_pkg, tmp_path, E=E, N=N, obs_dim=obs_dim, discrete=discrete,
+        cfg_kwargs=cfg_kwargs)
+
+    env = DirectionalGateEnv(DirectionalGateEnvCfg(
+        variant=variant, num_envs=E, num_agents=N))
+    cfg = POCAConfig(**cfg_kwargs, total_timesteps=10**9,
+                     summary_freq=10**9, checkpoint_interval=10**9)
+    trainer = POCATrainer(env, cfg)
+    assert trainer.group_mb == T * E          # one minibatch per epoch
+    _transplant(trainer, ref_trainer, cfg)
+
+    data = _synth_rollout(
+        np.random.default_rng(seed + 7), T=T, E=E, N=N, obs_dim=obs_dim,
+        discrete=discrete, mem=mem)
+    _fill_ref_buffer(ref_trainer, data)
+    rollout, bootstrap = _to_rollout(data)
+
+    # ── 1) gradient parity on the first (full-buffer) minibatch ──
+    loss_fn = trainer._recurrent_loss if recurrent else trainer._feedforward_loss
+    batch = _first_batch(trainer, ref_trainer, rollout, bootstrap, recurrent)
+    (loss_j, aux_j), grads_j = jax.value_and_grad(loss_fn, has_aux=True)(
+        trainer.train_state.params, batch, cfg.clip_eps, cfg.beta)
+
+    ref_batch = _ref_first_batch(ref_trainer, recurrent)
+    if recurrent:
+        pol, val, bl, ent = ref_trainer._compute_recurrent_losses(
+            ref_batch, cfg.clip_eps)
+    else:
+        pol, val, bl, ent = ref_trainer._compute_feedforward_losses(
+            ref_batch, cfg.clip_eps)
+    loss_t = pol + 0.5 * (val + 0.5 * bl) - cfg.beta * ent
+    ref_trainer.optimizer.zero_grad()
+    loss_t.backward()
+    loss_t = loss_t.detach()
+    pol, val, bl, ent = (x.detach() for x in (pol, val, bl, ent))
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-5,
+                               atol=2e-6)
+    for ours, theirs in zip(aux_j, (pol, val, bl, ent)):
+        np.testing.assert_allclose(float(ours), float(theirs), rtol=5e-5,
+                                   atol=5e-6)
+    _assert_tree_close(grads_j, _torch_grad_tree(ref_trainer, cfg),
+                       atol=3e-5, what="grad")
+    ref_trainer.optimizer.zero_grad()
+
+    # ── 2) full update() parity: losses + params after 3 Adam steps ──
+    metrics_t = ref_trainer.update()
+    new_state, metrics_j = trainer._update_jit(
+        trainer.train_state, rollout, bootstrap,
+        jnp.float32(cfg.lr), jnp.float32(cfg.clip_eps), jnp.float32(cfg.beta),
+        jax.random.PRNGKey(0))
+    trainer.train_state = new_state
+    # Tolerances here are set by ADAM, not by the math being compared:
+    # the first Adam step moves each coordinate by ≈ lr·sign(g), so a
+    # coordinate whose true gradient is ~0 can step in opposite directions
+    # on the two frameworks from an O(1e-7) fp difference. Per-parameter
+    # drift is therefore bounded by 2·num_epochs·lr (measured ≈ 1.75e-3 at
+    # the bound 1.8e-3); epoch-2/3 losses inherit O(1e-3) relative drift.
+    # The STRICT check is part 1 above (loss + grads before any step).
+    for k in ("policy_loss", "value_loss", "baseline_loss"):
+        np.testing.assert_allclose(float(metrics_j[k]), metrics_t[k],
+                                   rtol=1e-2, atol=1e-3, err_msg=k)
+    np.testing.assert_allclose(float(metrics_j["entropy"]),
+                               metrics_t["entropy"], rtol=1e-2)
+    _assert_params_match(trainer, ref_trainer, cfg,
+                         atol=2.2 * cfg.num_epochs * cfg.lr)
+
+
+def _first_batch(trainer, ref_trainer, rollout, bootstrap, recurrent):
+    """Our side's full-buffer batch with the SAME advantage normalization
+    the reference update applies before its epoch loop."""
+    import swarmacb_tpu.agents.buffer as buf
+
+    c = trainer.cfg
+    returns, advantages = buf.compute_advantages(rollout, bootstrap,
+                                                 c.gamma, c.lam)
+    advantages = buf.normalize_advantages(advantages)
+    if not recurrent:
+        flat = trainer._flatten_buffer(rollout, returns, advantages)
+        return flat
+    # single-window-batch layout (all windows, order = (start-major, env))
+    E = trainer.num_envs
+    L = c.sequence_length
+    starts = range(0, c.horizon, L)
+
+    def win(x):
+        pieces = jnp.stack([x[s:s + L] for s in starts])      # (n_s, L, E, …)
+        moved = jnp.moveaxis(pieces, 2, 1)                    # (n_s, E, L, …)
+        return moved.reshape((-1, L) + x.shape[2:])
+
+    return {
+        "obs": win(rollout.obs), "critic_states": win(rollout.critic_states),
+        "actions": win(rollout.actions), "old_log_probs": win(rollout.log_probs),
+        "advantages": win(advantages), "dones": win(rollout.dones),
+        "returns": win(returns), "old_team_values": win(rollout.team_values),
+        "old_baselines": win(rollout.baselines),
+        "memory_h": jnp.concatenate([rollout.memory_h[s] for s in starts]),
+        "memory_c": jnp.concatenate([rollout.memory_c[s] for s in starts]),
+    }
+
+
+def _ref_first_batch(ref_trainer, recurrent):
+    """The reference's full-buffer batch in OUR window/flat order, with the
+    reference's own normalization applied to its buffer first."""
+    import torch
+
+    buf = ref_trainer.buffer
+    adv = buf.advantages
+    buf.advantages = (adv - adv.mean()) / (adv.std() + 1e-10)
+    T, E, N = buf.horizon, buf.num_envs, buf.num_agents
+    if not recurrent:
+        total = T * E
+        return {
+            "obs": buf.obs.view(total, N, -1),
+            "critic_states": buf.critic_states.view(total, N, -1),
+            "actions": buf.actions.view(total, N, -1),
+            "old_log_probs": buf.log_probs.view(total, N, -1),
+            "advantages": buf.advantages.view(total, N),
+            "returns": buf.returns.view(total),
+            "old_team_values": buf.team_values.view(total),
+            "old_baselines": buf.baselines.view(total, N),
+        }
+    L = ref_trainer.cfg.sequence_length
+    sel = [(e, s, min(s + L, T)) for s in range(0, T, L) for e in range(E)]
+    return {
+        "obs": torch.stack([buf.obs[s:e2, e] for e, s, e2 in sel]),
+        "critic_states": torch.stack(
+            [buf.critic_states[s:e2, e] for e, s, e2 in sel]),
+        "actions": torch.stack([buf.actions[s:e2, e] for e, s, e2 in sel]),
+        "old_log_probs": torch.stack(
+            [buf.log_probs[s:e2, e] for e, s, e2 in sel]),
+        "advantages": torch.stack(
+            [buf.advantages[s:e2, e] for e, s, e2 in sel]),
+        "dones": torch.stack([buf.dones[s:e2, e] for e, s, e2 in sel]),
+        "returns": torch.stack([buf.returns[s:e2, e] for e, s, e2 in sel]),
+        "old_team_values": torch.stack(
+            [buf.team_values[s:e2, e] for e, s, e2 in sel]),
+        "old_baselines": torch.stack(
+            [buf.baselines[s:e2, e] for e, s, e2 in sel]),
+        "memory_h": torch.stack([buf.memory_h[s, e] for e, s, _ in sel]),
+        "memory_c": torch.stack([buf.memory_c[s, e] for e, s, _ in sel]),
+    }
+
+
+def test_update_parity_feedforward_discrete(ref_pkg, tmp_path):
+    _run_case(ref_pkg, tmp_path, variant="tulip", discrete=True)
+
+
+def test_update_parity_feedforward_continuous(ref_pkg, tmp_path):
+    _run_case(ref_pkg, tmp_path, variant="dandelion", discrete=False, seed=1)
+
+
+def test_update_parity_recurrent(ref_pkg, tmp_path):
+    _run_case(ref_pkg, tmp_path, variant="cyclamen", discrete=True,
+              recurrent=True, T=8, seed=2)
