@@ -86,14 +86,18 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, out
 
-    t_roll, roll_out = timed(tr._rollout_jit, tr.train_state.params,
+    # non-donating jits: the trainer's programs donate their inputs, which
+    # can't be re-fed on repeated timed calls on TPU
+    rollout_jit = jax.jit(tr._rollout_fn)
+    update_jit = jax.jit(tr._update_fn)
+    t_roll, roll_out = timed(rollout_jit, tr.train_state.params,
                              env_state, obs, (), key)
     env_state2, obs2, _, key2, rollout, bootstrap, aux = roll_out
 
     lr, eps, beta = tr._schedules()
     t_up, _ = timed(
-        lambda: tr._update_jit(tr.train_state, rollout, bootstrap, lr, eps,
-                               beta, key2))
+        lambda: update_jit(tr.train_state, rollout, bootstrap, lr, eps,
+                           beta, key2))
     decisions = cfg.horizon * E * N
     print(f"rollout: {t_roll*1e3:8.1f} ms  ({decisions/t_roll:,.0f} dec/s)")
     print(f"update : {t_up*1e3:8.1f} ms  ({decisions/t_up:,.0f} dec/s)")

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="Force a JAX platform (tpu/cpu)")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 tiles in the critic's counterfactual "
+                        "attention (params/losses stay f32); see "
+                        "POCAConfig.mixed_precision")
     p.add_argument("--use_pallas", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="Fused Pallas sensor/collision kernels for the env "
@@ -117,6 +121,8 @@ def main():
         cfg.checkpoint_dir = args.checkpoint_dir
     if args.seed is not None:
         cfg.seed = args.seed
+    if args.mixed_precision:
+        cfg.mixed_precision = True
     if args.num_envs is not None:
         env_overrides["num_envs"] = args.num_envs
 

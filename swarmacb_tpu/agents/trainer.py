@@ -108,6 +108,7 @@ class POCATrainer:
             state_dim=self.STATE_DIM, act_dim=self.act_dim_critic,
             num_agents=self.num_agents, hidden=c.hidden_dim,
             num_heads=c.critic_num_heads, num_layers=c.num_layers,
+            compute_dtype=jnp.bfloat16 if c.mixed_precision else None,
         )
 
         key = jax.random.PRNGKey(c.seed)
@@ -170,16 +171,23 @@ class POCATrainer:
         # math to the fused program, but one device call per minibatch so
         # single-program wall time stays bounded at large E. The trigger is
         # the BUFFER size (T·E groups): fused-program wall time scales with
-        # total work per epoch, not with the minibatch size.
+        # total work per epoch, not with the minibatch size. Covers all
+        # four shapes (ff/recurrent × single-device/mesh).
         self._use_split_update = (
-            c.split_update_groups > 0
-            and not self.recurrent
-            and mesh is None
-            and T_E > c.split_update_groups
+            c.split_update_groups > 0 and T_E > c.split_update_groups
         )
-        self._prep_update_jit = jax.jit(self._prep_update_fn,
+        if c.rollout_segments > 1 and c.horizon % c.rollout_segments:
+            raise ValueError(
+                f"horizon={c.horizon} not divisible by "
+                f"rollout_segments={c.rollout_segments}")
+        self._prep_update_jit = jax.jit(self._prep_dispatch,
                                         donate_argnums=(0,))
-        self._mb_step_jit = jax.jit(self._mb_step_fn, donate_argnums=(0,))
+        self._mb_step_jit = jax.jit(self._mb_step_dispatch,
+                                    donate_argnums=(0,))
+        self._rollout_seg_jit = jax.jit(
+            partial(self._rollout_fn,
+                    length=c.horizon // max(1, c.rollout_segments)),
+            donate_argnums=(1,))
 
     # ──────────────────────────────────────────────────────────────
     #  helpers
@@ -213,8 +221,9 @@ class POCATrainer:
     #  rollout (lax.scan over horizon, fully on device)
     # ──────────────────────────────────────────────────────────────
 
-    def _rollout_fn(self, params, env_state, obs, actor_carry, key):
-        """Collect ``horizon`` decisions. Returns
+    def _rollout_fn(self, params, env_state, obs, actor_carry, key,
+                    length=None):
+        """Collect ``length`` (default horizon) decisions. Returns
         (env_state, obs, actor_carry, key, rollout, bootstrap_value)."""
         env = self.env
         E, N = self.num_envs, self.num_agents
@@ -298,7 +307,7 @@ class POCATrainer:
 
         (env_state, obs, actor_carry, key), (rollout, aux) = jax.lax.scan(
             step_fn, (env_state, obs, actor_carry, key), None,
-            length=self.cfg.horizon,
+            length=self.cfg.horizon if length is None else length,
         )
 
         last_state = env.critic_state(env_state)
@@ -581,36 +590,103 @@ class POCATrainer:
 
     # ── split-update path (one device program per minibatch) ──────
 
+    def _pmean(self, x):
+        return x if self.mesh is None else jax.lax.pmean(x, meshlib.DATA_AXIS)
+
     def _prep_update_fn(self, rollout: Rollout, bootstrap):
-        """Returns/advantages + flattened buffer for minibatching.
+        """Returns/advantages + minibatch source arrays (flat buffer, or
+        the BPTT window-group batches when recurrent).
 
         The rollout is DONATED into this program (its buffers are reused
         for the flat arrays rather than held alongside them — the split
         path's equivalent of the fused program's rollout donation); the
         per-step stats the outer loop needs are re-emitted as outputs.
+        Under the mesh this runs inside shard_map (advantage moments and
+        scalar stats all-reduced), so normalization matches the fused
+        mesh program exactly.
         """
         c = self.cfg
         returns, advantages = buf.compute_advantages(rollout, bootstrap,
                                                      c.gamma, c.lam)
-        advantages = buf.normalize_advantages(advantages)
+        advantages = self._normalize_advantages(advantages)
         stats = {
             "rewards": rollout.rewards,
             "dones": rollout.dones,
-            "mean_team_value": rollout.team_values.mean(),
+            "mean_team_value": self._pmean(rollout.team_values.mean()),
         }
-        flat = self._flatten_buffer(rollout, returns, advantages)
-        return flat, jnp.abs(advantages).mean(), stats
+        if self.recurrent:
+            batches = self._window_batches(rollout, returns, advantages)
+        else:
+            batches = self._flatten_buffer(rollout, returns, advantages)
+        return batches, self._pmean(jnp.abs(advantages).mean()), stats
+
+    def _prep_dispatch(self, rollout: Rollout, bootstrap):
+        if self.mesh is None:
+            return self._prep_update_fn(rollout, bootstrap)
+        batch_spec = P(None, meshlib.DATA_AXIS)
+        rollout_specs = jax.tree_util.tree_map(lambda _: batch_spec, rollout)
+        return jax.shard_map(
+            self._prep_update_fn,
+            mesh=self.mesh,
+            in_specs=(rollout_specs, P(meshlib.DATA_AXIS)),
+            # batches: every leaf is sharded on its leading (row) axis
+            out_specs=(P(meshlib.DATA_AXIS), P(),
+                       {"rewards": batch_spec, "dones": batch_spec,
+                        "mean_team_value": P()}),
+            check_vma=False,
+        )(rollout, bootstrap)
 
     def _mb_step_fn(self, train_state, flat, idx, eps, beta):
         batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
+        if self.recurrent:
+            # each BPTT-window row holds L arena timesteps (L = static
+            # window length from the batch shape)
+            return self._sgd_step(train_state, batch, eps, beta,
+                                  self._recurrent_loss,
+                                  groups_per_row=batch["obs"].shape[1])
         return self._sgd_step(train_state, batch, eps, beta,
                               self._feedforward_loss)
 
+    def _mb_step_dispatch(self, train_state, flat, idx, eps, beta):
+        """One minibatch SGD step; shard_map'd under the mesh (per-shard
+        local row indices, grads pmean'd inside _sgd_step)."""
+        if self.mesh is None:
+            return self._mb_step_fn(train_state, flat, idx, eps, beta)
+        ts_specs = jax.tree_util.tree_map(lambda _: P(), train_state)
+        return jax.shard_map(
+            self._mb_step_fn,
+            mesh=self.mesh,
+            in_specs=(ts_specs, P(meshlib.DATA_AXIS), P(meshlib.DATA_AXIS),
+                      P(), P()),
+            out_specs=(ts_specs, P()),
+            check_vma=False,
+        )(train_state, flat, idx, eps, beta)
+
+    def _shard_epoch_keys(self, key):
+        """Per-shard epoch key streams replicating the fused program's RNG
+        (fold_in(axis_index) under the mesh, then per-epoch split)."""
+        if self.mesh is None:
+            return [jax.random.split(key, self.cfg.num_epochs)]
+        return [jax.random.split(jax.random.fold_in(key, s),
+                                 self.cfg.num_epochs)
+                for s in range(self.n_shards)]
+
+    def _place_idx(self, per_shard_idx):
+        """Stack per-shard local index slices into one array sharded so
+        each device receives ITS slice inside shard_map."""
+        if self.mesh is None:
+            return per_shard_idx[0]
+        return jax.device_put(jnp.concatenate(per_shard_idx),
+                              meshlib.batch_sharding(self.mesh))
+
     def _update_split(self, rollout, bootstrap, lr, eps, beta, key):
         """Same epochs/minibatches/permutations as the fused update, driven
-        from the host so no single device program exceeds one minibatch."""
+        from the host so no single device program exceeds one minibatch —
+        bit-compatible with the fused program in all four shapes
+        (ff/recurrent × single-device/mesh)."""
         c = self.cfg
-        flat, mean_abs_adv, stats = self._prep_update_jit(rollout, bootstrap)
+        batches, mean_abs_adv, stats = self._prep_update_jit(rollout,
+                                                             bootstrap)
 
         opt_state = self.train_state.opt_state
         # copy: train_state is donated per minibatch step, and the caller
@@ -619,24 +695,58 @@ class POCATrainer:
         train_state = TrainState(params=self.train_state.params,
                                  opt_state=opt_state)
 
-        T_E = c.horizon * self.num_envs
-        mb = min(max(1, self.group_mb), T_E)
-        n_full, rem = T_E // mb, T_E % mb
-
+        epoch_keys = self._shard_epoch_keys(key)
         aux_sum = jnp.zeros(4)
         n_batches = 0
-        for epoch_key in jax.random.split(key, c.num_epochs):
-            perm = jax.random.permutation(epoch_key, T_E)
-            for i in range(n_full):
-                train_state, aux = self._mb_step_jit(
-                    train_state, flat, perm[i * mb:(i + 1) * mb], eps, beta)
-                aux_sum = aux_sum + aux
-                n_batches += 1
-            if rem > 0:
-                train_state, aux = self._mb_step_jit(
-                    train_state, flat, perm[n_full * mb:], eps, beta)
-                aux_sum = aux_sum + aux
-                n_batches += 1
+
+        def run_batch(ts, source, per_shard_slices):
+            idx = self._place_idx(per_shard_slices)
+            return self._mb_step_jit(ts, source, idx, eps, beta)
+
+        if not self.recurrent:
+            T_E_loc = c.horizon * self.num_envs // self.n_shards
+            mb = min(max(1, self.group_mb // self.n_shards), T_E_loc)
+            n_full, rem = divmod(T_E_loc, mb)
+            for e in range(c.num_epochs):
+                perms = [jax.random.permutation(epoch_keys[s][e], T_E_loc)
+                         for s in range(self.n_shards)]
+                for i in range(n_full):
+                    sl = slice(i * mb, (i + 1) * mb)
+                    train_state, aux = run_batch(
+                        train_state, batches, [p[sl] for p in perms])
+                    aux_sum = aux_sum + aux
+                    n_batches += 1
+                if rem > 0:
+                    train_state, aux = run_batch(
+                        train_state, batches,
+                        [p[n_full * mb:] for p in perms])
+                    aux_sum = aux_sum + aux
+                    n_batches += 1
+        else:
+            for e in range(c.num_epochs):
+                ek = [epoch_keys[s][e] for s in range(self.n_shards)]
+                for L, group in sorted(batches.items()):
+                    W_loc = group["obs"].shape[0] // self.n_shards
+                    seq_bs = max(1, (self.group_mb // self.n_shards)
+                                 // max(L, 1))
+                    seq_bs = min(seq_bs, W_loc)
+                    n_full, rem = divmod(W_loc, seq_bs)
+                    perms = []
+                    for s in range(self.n_shards):
+                        ek[s], k_perm = jax.random.split(ek[s])
+                        perms.append(jax.random.permutation(k_perm, W_loc))
+                    for i in range(n_full):
+                        sl = slice(i * seq_bs, (i + 1) * seq_bs)
+                        train_state, aux = run_batch(
+                            train_state, group, [p[sl] for p in perms])
+                        aux_sum = aux_sum + aux
+                        n_batches += 1
+                    if rem > 0:
+                        train_state, aux = run_batch(
+                            train_state, group,
+                            [p[n_full * seq_bs:] for p in perms])
+                        aux_sum = aux_sum + aux
+                        n_batches += 1
 
         metrics_v = aux_sum / n_batches
         metrics = {
@@ -648,9 +758,26 @@ class POCATrainer:
 
     def _train_iteration_split(self, env_state, obs, actor_carry, lr, eps, beta):
         key, k_up = jax.random.split(self.key)
-        (env_state, obs, actor_carry, key, rollout, bootstrap,
-         aux) = self._rollout_jit(self.train_state.params, env_state, obs,
-                                  actor_carry, key)
+        segs = max(1, self.cfg.rollout_segments)
+        if segs == 1:
+            (env_state, obs, actor_carry, key, rollout, bootstrap,
+             aux) = self._rollout_jit(self.train_state.params, env_state,
+                                      obs, actor_carry, key)
+        else:
+            # horizon in `segs` sequential device programs; the PRNG key is
+            # carried across segments so per-step keys (and therefore
+            # trajectories) are bit-identical to the unsegmented scan
+            parts, auxes = [], []
+            for _ in range(segs):
+                (env_state, obs, actor_carry, key, part, bootstrap,
+                 a) = self._rollout_seg_jit(self.train_state.params,
+                                            env_state, obs, actor_carry, key)
+                parts.append(part)
+                auxes.append(a)
+            rollout = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+            aux = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *auxes)
         # rollout is donated into the update prep; per-step stats come back
         # out of it (plus the env-side completed-reward snapshot from aux)
         train_state, metrics, stats = self._update_split(
@@ -670,11 +797,9 @@ class POCATrainer:
             groups.setdefault(length, []).append(s)
         return groups
 
-    def _update_recurrent(self, train_state, rollout, returns, advantages,
-                          eps, beta, key):
-        c = self.cfg
-        E = self.num_envs
-
+    def _window_batches(self, rollout, returns, advantages):
+        """BPTT window-group batches {L: batch} from the buffer — shared by
+        the fused and split recurrent updates (poca_buffer.py:190-246)."""
         def windows_for(starts, length):
             """Stack (n_starts·E) windows of a given length from the buffer."""
             def win(x):
@@ -686,7 +811,7 @@ class POCATrainer:
                 moved = jnp.moveaxis(pieces, 2, 1)
                 return moved.reshape((-1, length) + x.shape[2:])
 
-            batch = {
+            return {
                 "obs": win(rollout.obs),
                 "critic_states": win(rollout.critic_states),
                 "actions": win(rollout.actions),
@@ -700,17 +825,22 @@ class POCATrainer:
                 "memory_h": jnp.concatenate([rollout.memory_h[s] for s in starts]),
                 "memory_c": jnp.concatenate([rollout.memory_c[s] for s in starts]),
             }
-            return batch
 
-        groups = self._window_groups()
-        group_batches = {
-            L: windows_for(starts, L) for L, starts in groups.items()
-        }
+        return {L: windows_for(starts, L)
+                for L, starts in self._window_groups().items()}
+
+    def _update_recurrent(self, train_state, rollout, returns, advantages,
+                          eps, beta, key):
+        c = self.cfg
+        group_batches = self._window_batches(rollout, returns, advantages)
 
         def epoch_fn(train_state, epoch_key):
             aux_sum = jnp.zeros(4)
             n_batches = 0.0
-            for L, batch_all in group_batches.items():
+            # sorted: jit boundaries canonicalize dict key order, so the
+            # split path sees sorted groups — iterate identically here to
+            # keep the RNG/permutation streams bit-compatible
+            for L, batch_all in sorted(group_batches.items()):
                 W = batch_all["obs"].shape[0]
                 seq_bs = max(1, (self.group_mb // self.n_shards) // max(L, 1))
                 seq_bs = min(seq_bs, W)

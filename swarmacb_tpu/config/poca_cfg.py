@@ -71,16 +71,36 @@ class POCAConfig:
     # a v5e chip's 16 GB at hidden=512, N=20. 0 disables chunking.
     accum_chunk_groups: int = 1024
 
-    # When the derived group minibatch exceeds this, the PPO update runs as
+    # When the buffer (T·E groups) exceeds this, the PPO update runs as
     # one device program PER MINIBATCH (host-driven loop) instead of one
     # fused program for all epochs. Identical math and update order — the
     # split only bounds single-program execution time, which matters both
     # for tunnelled/remote device runtimes that cap per-program wall time
     # and for checkpoint/interrupt latency. ~30 extra dispatches per
     # update (< 1 s) against multi-minute fused programs at large E.
-    # 0 = always fused. Feedforward single-device path only; the mesh
-    # (shard_map) and recurrent paths stay fused.
+    # 0 = always fused. Covers all four trainer shapes: feedforward AND
+    # recurrent (BPTT window batches), single-device AND data-parallel
+    # mesh (shard_map'd minibatch programs, grads pmean'd — bit-compatible
+    # with the fused mesh program; tests/test_trainer.py,
+    # tests/test_distributed.py).
     split_update_groups: int = 16384
+
+    # Split the rollout scan into this many sequential device programs
+    # (horizon must divide evenly). 1 = whole horizon in one program.
+    # Only consulted on the split-update path: it bounds ROLLOUT program
+    # wall time the way split_update_groups bounds update program time
+    # (relevant from E ≳ 2048 on tunnelled runtimes with a per-program
+    # execution ceiling). Key threading is carried across segments, so
+    # trajectories are bit-identical to the unsegmented scan.
+    rollout_segments: int = 1
+
+    # Mixed precision (VERDICT r1 next-round #1): keep the critic's
+    # counterfactual-attention HBM tiles (attention output, fc_out,
+    # residual) in bf16; params, scores/softmax, LayerNorm stats, losses,
+    # log-probs and the optimizer stay f32. ~1.3× faster updates on v5e;
+    # validated against the f32 path with full-budget curve overlays
+    # (VALIDATION.md). Off by default.
+    mixed_precision: bool = False
 
     # RNG
     seed: int = 0

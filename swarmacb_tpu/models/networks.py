@@ -35,9 +35,10 @@ Swish = nn.silu  # ML-Agents uses Swish/SiLU, not ELU (poca_networks.py:47-51)
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def _dense(features: int, kernel_init, name=None):
+def _dense(features: int, kernel_init, name=None, dtype=None):
+    """``dtype``: computation dtype (params stay f32 via param_dtype)."""
     return nn.Dense(features, kernel_init=kernel_init,
-                    bias_init=nn.initializers.zeros, name=name)
+                    bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
 class LinearEncoder(nn.Module):
@@ -231,16 +232,24 @@ class ResidualSelfAttention(nn.Module):
 
     embed: int
     num_heads: int = 4
+    # computation dtype for the Q/K/V/out projections (params stay f32);
+    # None = f32 throughout. See POCACritic.compute_dtype.
+    compute_dtype: Optional[jnp.dtype] = None
 
     NEG_INF: float = -1e6
     EPSILON: float = 1e-7
 
     def setup(self):
         gain = (0.125 / self.embed) ** 0.5
-        self.fc_q = _dense(self.embed, inits.normal_gain(gain), name="fc_q")
-        self.fc_k = _dense(self.embed, inits.normal_gain(gain), name="fc_k")
-        self.fc_v = _dense(self.embed, inits.normal_gain(gain), name="fc_v")
-        self.fc_out = _dense(self.embed, inits.normal_gain(gain), name="fc_out")
+        dt = self.compute_dtype
+        self.fc_q = _dense(self.embed, inits.normal_gain(gain), name="fc_q",
+                           dtype=dt)
+        self.fc_k = _dense(self.embed, inits.normal_gain(gain), name="fc_k",
+                           dtype=dt)
+        self.fc_v = _dense(self.embed, inits.normal_gain(gain), name="fc_v",
+                           dtype=dt)
+        self.fc_out = _dense(self.embed, inits.normal_gain(gain),
+                             name="fc_out", dtype=dt)
         # non-affine LayerNorms: no params, so exposing the stages as
         # separate methods keeps the param tree identical to round 1
         self.embedding_norm = nn.LayerNorm(use_bias=False, use_scale=False,
@@ -306,11 +315,19 @@ class POCACritic(nn.Module):
     hidden: int = 256
     num_heads: int = 4
     num_layers: int = 2
+    # Mixed precision for the counterfactual pass (POCAConfig.
+    # mixed_precision): the attention OUTPUT tile and the fc_out/residual
+    # chain — the only tensors that hit HBM at (B·N, N, h) size — are kept
+    # in bf16; scores, softmax, LayerNorm statistics, pooling, the encoder
+    # tail and all params stay f32. Validated against the f32 path by
+    # full-budget learning-curve overlays (VALIDATION.md).
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.obs_entity_enc = EntityEmbedding(self.hidden, name="obs_entity_enc")
         self.obs_act_entity_enc = EntityEmbedding(self.hidden, name="obs_act_entity_enc")
         self.self_attn = ResidualSelfAttention(self.hidden, self.num_heads,
+                                               compute_dtype=self.compute_dtype,
                                                name="self_attn")
         t_fixup_gain = (0.125 / self.hidden) ** 0.5
         self.linear_encoder = LinearEncoder(
@@ -362,34 +379,92 @@ class POCACritic(nn.Module):
         (poca_networks.py:583-635), which is order-invariant under
         attention + average pooling.
 
-        Projection dedup (the learner's hot op, SURVEY §3.5): the RSA
-        pre-norm and Q/K/V projections are PER-ENTITY, and the N tiled
-        counterfactual sets share the same 2N distinct embeddings — so LN
-        and Q/K/V run on (B, N, h) twice instead of on the (B·N, N, h)
-        tile, ~N× fewer projection FLOPs for identical per-element math.
+        Assembled-scores layout (the learner's hot op, SURVEY §3.5 — this
+        is where round 1 spent ~95% of update time, HBM-bound): the N
+        counterfactual entity sets share the same 2N distinct embeddings,
+        and the pre-norm + Q/K/V projections are PER-ENTITY, so instead of
+        materializing (B·N, N, h) q/k/v/x tiles in HBM we:
+
+          1. run LN + Q/K/V on the two (B, N, h) embedding sets only,
+          2. build the (B, I, H, n, m) score tensor (h-free — ~25× smaller
+             than one tile) from four SMALL matmuls: S_aa = q_a·k_aᵀ with
+             row n=I overridden by S_sa, column m=I by S_as, and (I,I) by
+             the q_s·k_s diagonal,
+          3. contract softmax(scores) against the small v_a (plus a rank-1
+             diagonal correction attn[·,m=I]·(v_s−v_a)), and
+          4. apply the residual as a broadcast of x_a with the diagonal
+             swapped to x_s — fused by XLA, never materialized.
+
+        Only the attention OUTPUT (B·N, N, h) ever hits HBM at tile size
+        (fc_out needs every (I, n) pair). Identical per-element math to
+        tiling (measured ≤1e-7 vs the tiled form; reference parity in
+        tests/test_models.py), ~1.6× faster fwd+bwd on a v5e at B=1024.
+        Entity-set equivalence with the reference construction
+        (poca_networks.py:583-635): same sets, order-invariant under
+        attention + average pooling.
         """
         B, N, _ = all_states.shape
         h = self.hidden
+        rsa = self.self_attn
+        H = rsa.num_heads
+        d = h // H
         obs_emb = self.obs_entity_enc(all_states)                       # (B,N,h)
         state_act = jnp.concatenate([all_states, all_actions], axis=-1)
         obs_act_emb = self.obs_act_entity_enc(state_act)                # (B,N,h)
 
-        x_self = self.self_attn.normalize(obs_emb)
-        x_act = self.self_attn.normalize(obs_act_emb)
-        q_s, k_s, v_s = self.self_attn.project_qkv(x_self)
-        q_a, k_a, v_a = self.self_attn.project_qkv(x_act)
+        x_s = rsa.normalize(obs_emb)
+        x_a = rsa.normalize(obs_act_emb)
+        q_s, k_s, v_s = rsa.project_qkv(x_s)
+        q_a, k_a, v_a = rsa.project_qkv(x_a)
 
-        eye = jnp.eye(N, dtype=bool)[None, :, :, None]                  # (1,N,N,1)
+        def heads(t):                                   # (B,N,h) → (B,H,N,d)
+            return t.reshape(B, N, H, d).transpose(0, 2, 1, 3)
 
-        def tile(self_e, act_e):
-            t_a = jnp.broadcast_to(act_e[:, None], (B, N, N, h))
-            t_s = jnp.broadcast_to(self_e[:, :, None], (B, N, N, h))
-            return jnp.where(eye, t_s, t_a).reshape(B * N, N, h)
+        qs, ks, vs = heads(q_s), heads(k_s), heads(v_s)
+        qa, ka, va = heads(q_a), heads(k_a), heads(v_a)
 
-        pooled = self.self_attn.attend(
-            tile(x_self, x_act), tile(q_s, q_a), tile(k_s, k_a),
-            tile(v_s, v_a),
-        )                                                               # (B·N,h)
+        f32 = jnp.float32
+        S_aa = jnp.einsum("bhnd,bhmd->bhnm", qa, ka, preferred_element_type=f32)
+        S_sa = jnp.einsum("bhnd,bhmd->bhnm", qs, ka, preferred_element_type=f32)
+        S_as = jnp.einsum("bhnd,bhmd->bhnm", qa, ks, preferred_element_type=f32)
+        S_ss = (qs.astype(f32) * ks.astype(f32)).sum(-1)               # (B,H,N)
+
+        ii = jnp.arange(N)
+        I_idx = ii[None, :, None, None, None]
+        n_idx = ii[None, None, None, :, None]
+        m_idx = ii[None, None, None, None, :]
+        base = S_aa[:, None]                                  # (B,1,H,n,m)
+        row_I = jnp.transpose(S_sa, (0, 2, 1, 3))[:, :, :, None, :]
+        col_I = jnp.transpose(S_as, (0, 3, 1, 2))[:, :, :, :, None]
+        diag_I = jnp.transpose(S_ss, (0, 2, 1))[:, :, :, None, None]
+
+        scores = jnp.where(n_idx == I_idx, row_I, base)
+        scores = jnp.where(m_idx == I_idx,
+                           jnp.where(n_idx == I_idx, diag_I, col_I), scores)
+        attn = jax.nn.softmax(scores / math.sqrt(d), axis=-1)  # (B,I,H,n,m)
+
+        # out[b,h,I,n,d] = Σ_m attn·v_a[m], MXU-shaped as (I·n, m)@(m, d)
+        tile_dtype = self.compute_dtype or f32
+        lhs = jnp.transpose(attn, (0, 2, 1, 3, 4)) \
+            .reshape(B, H, N * N, N).astype(tile_dtype)
+        out = jnp.einsum("bhxm,bhmd->bhxd", lhs, va,
+                         preferred_element_type=f32).reshape(B, H, N, N, d)
+        attn_mI = jnp.take_along_axis(attn, I_idx[..., :1],
+                                      axis=-1)[..., 0].astype(tile_dtype)
+        out = out + (attn_mI.transpose(0, 2, 1, 3)[..., None]
+                     * (vs - va).astype(f32)[:, :, :, None, :])
+
+        out = out.transpose(0, 2, 3, 1, 4).reshape(B * N, N, h)
+        out = out.astype(tile_dtype)
+        fc = rsa.fc_out(out).reshape(B, N, N, h) \
+            + x_a[:, None, :, :].astype(tile_dtype)
+        eye = (ii[:, None] == ii[None, :])[None, :, :, None]
+        fc = fc + jnp.where(eye,
+                            (x_s - x_a)[:, :, None, :].astype(tile_dtype), 0.0)
+        # LayerNorm statistics in f32 regardless of the tile dtype
+        y = rsa.residual_norm(fc.reshape(B * N, N, h).astype(f32))
+        pooled = y.mean(axis=1)
+
         encoding = self.linear_encoder(pooled)
         nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(N),
                       dtype=encoding.dtype)
