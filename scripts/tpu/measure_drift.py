@@ -67,17 +67,30 @@ def main():
         tpu_traj = run_trajectory(tpus[0], variant, use_pallas=False)
         pal_traj = run_trajectory(tpus[0], variant, use_pallas=True)
         for name, t in (("tpu_jnp", tpu_traj), ("tpu_pallas", pal_traj)):
-            d_pos = float(np.abs(t[0] - cpu_traj[0]).max())
-            d_yaw = float(np.abs(t[1] - cpu_traj[1]).max())
+            d_pos_t = np.abs(t[0] - cpu_traj[0]).reshape(STEPS, -1).max(1)
+            # divergence onset: the discrete variants' avoidance state
+            # machines amplify ulp-level fp differences chaotically (a
+            # threshold flip latches a different turn), so full-episode
+            # positional identity is not the right criterion — onset step
+            # and aggregate reward agreement are
+            over = np.nonzero(d_pos_t > 1e-3)[0]
+            onset = int(over[0]) if over.size else STEPS
+            d_pos100 = float(d_pos_t[:100].max())
             d_rew = float(np.abs(t[2] - cpu_traj[2]).max())
             rew_eq = float((t[2] == cpu_traj[2]).mean())
+            ep_sum_diff = float(
+                np.abs(t[2].sum(0) - cpu_traj[2].sum(0)).max())
             out[f"{variant}/{name}"] = {
-                "max_pos_drift_m": d_pos, "max_yaw_drift_rad": d_yaw,
-                "max_reward_diff": d_rew, "reward_step_agreement": rew_eq,
+                "max_pos_drift_m": float(d_pos_t.max()),
+                "pos_drift_100_steps_m": d_pos100,
+                "divergence_onset_step": onset,
+                "max_reward_diff": d_rew,
+                "reward_step_agreement": rew_eq,
+                "episode_reward_sum_diff": ep_sum_diff,
             }
-            print(f"{variant:10s} {name:10s} pos {d_pos:.3e} m  "
-                  f"yaw {d_yaw:.3e} rad  reward Δ {d_rew:.1f}  "
-                  f"agree {rew_eq*100:.2f}%", flush=True)
+            print(f"{variant:10s} {name:10s} pos@100 {d_pos100:.2e} m  "
+                  f"onset step {onset}  reward agree {rew_eq*100:.2f}%  "
+                  f"|Σreward Δ| {ep_sum_diff:.0f}", flush=True)
     print(json.dumps(out))
     return 0
 

@@ -23,13 +23,17 @@ import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
-# Tolerances, from the measured drift in PARITY.md with ~10× headroom:
-# positions live in a ±1.28 m arena; yaw wraps at π. Reward is DISCRETE
-# (colour-transition counts), so a near-boundary crossing can differ by
-# ±1 on a step; agreement must stay ≳99%.
-MAX_POS_DRIFT_M = 0.05
-MAX_YAW_DRIFT_RAD = 0.5
+# Tolerances from the measured drift in PARITY.md (with headroom).
+# Full-episode positional identity is NOT the criterion for the discrete
+# variants: their avoidance state machines amplify ulp-level fp
+# differences chaotically (measured onset ≈ step 571 of 1200) — so the
+# pinned quantities are short-horizon drift, divergence onset, and
+# aggregate reward agreement (measured: 1.5e-6 m @100 steps, 99.92%
+# per-step agreement, episode reward sums identical).
+MAX_POS_DRIFT_100_M = 1e-4
+MIN_DIVERGENCE_ONSET_STEP = 200
 MIN_REWARD_AGREEMENT = 0.99
+MAX_EPISODE_REWARD_SUM_DIFF = 2.0
 
 
 @pytest.mark.skipif(os.environ.get("SWARMACB_TPU_DRIFT") != "1",
@@ -44,6 +48,7 @@ def test_tpu_drift_within_tolerance():
     data = json.loads(proc.stdout.strip().splitlines()[-1])
     assert "error" not in data, data
     for case, m in data.items():
-        assert m["max_pos_drift_m"] <= MAX_POS_DRIFT_M, (case, m)
-        assert m["max_yaw_drift_rad"] <= MAX_YAW_DRIFT_RAD, (case, m)
+        assert m["pos_drift_100_steps_m"] <= MAX_POS_DRIFT_100_M, (case, m)
+        assert m["divergence_onset_step"] >= MIN_DIVERGENCE_ONSET_STEP, (case, m)
         assert m["reward_step_agreement"] >= MIN_REWARD_AGREEMENT, (case, m)
+        assert m["episode_reward_sum_diff"] <= MAX_EPISODE_REWARD_SUM_DIFF, (case, m)
