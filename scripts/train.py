@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fused Pallas sensor/collision kernels for the env "
                         "step (ops/pairwise.py). 'auto' = on when the "
                         "backend is TPU (default), off elsewhere")
+    p.add_argument("--fused_tail", type=str, default="config",
+                   choices=["config", "on", "off"],
+                   help="Fused Pallas tail kernel for the critic's "
+                        "counterfactual pass (ops/baseline_tail.py). "
+                        "'config' defers to POCAConfig.fused_tail "
+                        "(None there = auto-on on TPU)")
     p.add_argument("--distributed", action="store_true",
                    help="Initialize jax.distributed for multi-host training")
     p.add_argument("--data_parallel", type=str, default="auto",
@@ -123,6 +129,8 @@ def main():
         cfg.seed = args.seed
     if args.mixed_precision:
         cfg.mixed_precision = True
+    if args.fused_tail != "config":
+        cfg.fused_tail = args.fused_tail == "on"
     if args.num_envs is not None:
         env_overrides["num_envs"] = args.num_envs
 

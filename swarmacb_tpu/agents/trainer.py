@@ -104,11 +104,15 @@ class POCATrainer:
         else:
             self.actor = Actor(act_dim=self.act_dim, hidden=c.hidden_dim,
                                num_layers=c.num_layers)
+        fused_tail = c.fused_tail
+        if fused_tail is None:                # auto: kernel on real TPUs
+            fused_tail = jax.default_backend() == "tpu"
         self.critic = POCACritic(
             state_dim=self.STATE_DIM, act_dim=self.act_dim_critic,
             num_agents=self.num_agents, hidden=c.hidden_dim,
             num_heads=c.critic_num_heads, num_layers=c.num_layers,
             compute_dtype=jnp.bfloat16 if c.mixed_precision else None,
+            fused_tail=fused_tail,
         )
 
         key = jax.random.PRNGKey(c.seed)

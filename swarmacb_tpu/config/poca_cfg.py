@@ -94,6 +94,12 @@ class POCAConfig:
     # trajectories are bit-identical to the unsegmented scan.
     rollout_segments: int = 1
 
+    # Fused Pallas tail kernel for the critic's counterfactual pass
+    # (ops/baseline_tail.py): exact f32 math, no tile-sized HBM tensors in
+    # fwd or bwd. Off by default until hardware-validated; set True to
+    # force (interpret-mode fallback off-TPU).
+    fused_tail: "bool | None" = False
+
     # Mixed precision (VERDICT r1 next-round #1): keep the critic's
     # counterfactual-attention HBM tiles (attention output, fc_out,
     # residual) in bf16; params, scores/softmax, LayerNorm stats, losses,

@@ -322,6 +322,12 @@ class POCACritic(nn.Module):
     # tail and all params stay f32. Validated against the f32 path by
     # full-budget learning-curve overlays (VALIDATION.md).
     compute_dtype: Optional[jnp.dtype] = None
+    # Fused Pallas kernel for the fc/LN/pool tail of all_baselines
+    # (ops/baseline_tail.py): no tile-sized HBM tensor in forward OR
+    # backward (custom_vjp). Exact f32 math (kernel parity tests);
+    # supersedes compute_dtype in the tail when enabled. Auto-enabled on
+    # TPU by POCATrainer (POCAConfig.fused_tail).
+    fused_tail: bool = False
 
     def setup(self):
         self.obs_entity_enc = EntityEmbedding(self.hidden, name="obs_entity_enc")
@@ -455,9 +461,29 @@ class POCACritic(nn.Module):
         bias = rsa.fc_out.variables["params"]["bias"]
         Wh = kernel.reshape(H, d, h)
         wa = jnp.einsum("bhmd,hdo->bhmo", va, Wh,
-                        preferred_element_type=f32).astype(tile_dtype)
+                        preferred_element_type=f32)
         dws = jnp.einsum("bhmd,hdo->bhmo", vs - va, Wh,
                          preferred_element_type=f32)           # (B,H,I,h)
+
+        if self.fused_tail:
+            # Pallas tail: fc/LN/pool entirely in VMEM (fwd + custom vjp)
+            from ..ops.baseline_tail import fused_tail
+
+            lhs = jnp.transpose(attn, (0, 1, 3, 2, 4)) \
+                .reshape(B, N * N, H * N)
+            # head-major (B,H,I,n) — the kernel needs leading-axis
+            # per-head slices (Mosaic gather limitation)
+            attn_mI = jnp.take_along_axis(attn, I_idx[..., :1],
+                                          axis=-1)[..., 0].transpose(0, 2, 1, 3)
+            pooled = fused_tail(lhs, attn_mI, wa.reshape(B, H * N, h),
+                                dws, x_a, x_s - x_a, bias, N, None)
+            pooled = pooled.reshape(B * N, h)
+            encoding = self.linear_encoder(pooled)
+            nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(N),
+                          dtype=encoding.dtype)
+            values = self.value_head(jnp.concatenate([encoding, nc], axis=-1))
+            return values.reshape(B, N)
+        wa = wa.astype(tile_dtype)
 
         # fc[b,I,n,o] = Σ_{h,m} attn·wa (+ rank-1 diagonal correction),
         # MXU-shaped as (I·n, h·m)@(h·m, o)
