@@ -85,7 +85,7 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
 
 
 def bench_train_iteration(variant="dandelion", E=64, N=20,
-                          mixed_precision=False):
+                          mixed_precision=False, fused_tail=False):
     """Secondary: full fused rollout(T=100)+update iteration throughput."""
     import jax
 
@@ -97,7 +97,8 @@ def bench_train_iteration(variant="dandelion", E=64, N=20,
                                                    num_agents=N))
     cfg = POCAConfig(horizon=100, num_epochs=3, mini_batch_size=2048,
                      buffer_size_hint=20480, hidden_dim=512, num_layers=2,
-                     total_timesteps=10**9, mixed_precision=mixed_precision)
+                     total_timesteps=10**9, mixed_precision=mixed_precision,
+                     fused_tail=fused_tail)
     trainer = POCATrainer(env, cfg)
     key = jax.random.PRNGKey(0)
     env_state, obs = env.reset(key)
@@ -112,7 +113,11 @@ def bench_train_iteration(variant="dandelion", E=64, N=20,
         env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
     dt = time.perf_counter() - t0
     decisions = reps * cfg.horizon * E * N
-    tag = "bf16 tiles" if mixed_precision else "f32"
+    tag = "f32"
+    if mixed_precision:
+        tag = "bf16 tiles"
+    if fused_tail:
+        tag += "+fused-tail kernel"
     log(f"[bench] train SPS ({tag}, agent-decisions/s, rollout+update): "
         f"{decisions/dt:,.0f}")
     return decisions / dt
@@ -126,6 +131,8 @@ def main():
     try:
         train_sps = bench_train_iteration()
         bench_train_iteration(mixed_precision=True)
+        if jax.default_backend() == "tpu":
+            bench_train_iteration(fused_tail=True)
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"[bench] train-iteration bench failed: {e!r}")
         train_sps = None
