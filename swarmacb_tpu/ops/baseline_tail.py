@@ -177,8 +177,11 @@ def _bias_block(h):
     return pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _pick_G(B):
-    for g in (8, 4, 2):
+def _pick_G(B, bwd=False):
+    # Scoped VMEM (16M) bounds the block: G=8 fwd needs 18.3M (measured).
+    # The bwd kernel holds ~2x the live state (fc recompute + d_fc +
+    # cotangent output blocks), so it gets half the group count.
+    for g in ((2,) if bwd else (4, 2)):
         if B % g == 0:
             return g
     return 1
@@ -214,7 +217,7 @@ def _fused_tail_bwd(N, interpret, res, dout):
     H = HM // N
     if interpret is None:
         interpret = not _on_tpu()
-    G = _pick_G(B)
+    G = _pick_G(B, bwd=True)
     kernel = functools.partial(_bwd_kernel, G=G, N=N, H=H, h=h)
     outs = pl.pallas_call(
         kernel,
