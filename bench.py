@@ -85,7 +85,7 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
 
 
 def bench_train_iteration(variant="dandelion", E=64, N=20,
-                          mixed_precision=False, fused_tail=False):
+                          mixed_precision=False, fused_tail=None):
     """Secondary: full fused rollout(T=100)+update iteration throughput."""
     import jax
 
@@ -113,11 +113,11 @@ def bench_train_iteration(variant="dandelion", E=64, N=20,
         env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
     dt = time.perf_counter() - t0
     decisions = reps * cfg.horizon * E * N
-    tag = "f32"
-    if mixed_precision:
-        tag = "bf16 tiles"
-    if fused_tail:
-        tag += "+fused-tail kernel"
+    tag = "bf16 tiles" if mixed_precision else "f32"
+    if fused_tail is None:
+        tag += ", fused-tail auto"
+    elif not fused_tail:
+        tag += ", no fused tail"
     log(f"[bench] train SPS ({tag}, agent-decisions/s, rollout+update): "
         f"{decisions/dt:,.0f}")
     return decisions / dt
@@ -129,10 +129,10 @@ def main():
     log(f"[bench] devices: {jax.devices()}")
     value = bench_env_steps()
     try:
-        train_sps = bench_train_iteration()
+        train_sps = bench_train_iteration()            # fused tail auto-on
         bench_train_iteration(mixed_precision=True)
         if jax.default_backend() == "tpu":
-            bench_train_iteration(fused_tail=True)
+            bench_train_iteration(fused_tail=False)    # pre-kernel baseline
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"[bench] train-iteration bench failed: {e!r}")
         train_sps = None
