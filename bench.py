@@ -130,12 +130,17 @@ def main():
     value = bench_env_steps()
     try:
         train_sps = bench_train_iteration()            # fused tail auto-on
-        bench_train_iteration(mixed_precision=True)
-        if jax.default_backend() == "tpu":
-            bench_train_iteration(fused_tail=False)    # pre-kernel baseline
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"[bench] train-iteration bench failed: {e!r}")
         train_sps = None
+    # comparison variants: a failure here must not erase the measured
+    # primary train SPS above
+    try:
+        bench_train_iteration(mixed_precision=True)
+        if jax.default_backend() == "tpu":
+            bench_train_iteration(fused_tail=False)    # pre-kernel baseline
+    except Exception as e:
+        log(f"[bench] train-iteration comparison bench failed: {e!r}")
 
     result = {
         "metric": "env_steps_per_sec_per_chip",

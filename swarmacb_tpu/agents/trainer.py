@@ -104,15 +104,24 @@ class POCATrainer:
         else:
             self.actor = Actor(act_dim=self.act_dim, hidden=c.hidden_dim,
                                num_layers=c.num_layers)
-        fused_tail = c.fused_tail
-        if fused_tail is None:                # auto: kernel on real TPUs
-            fused_tail = jax.default_backend() == "tpu"
+        # auto kernel selection keys off the devices this trainer actually
+        # runs on (the mesh's, if given), not the process default backend:
+        # a CPU mesh in a TPU-backend process must not select Mosaic
+        # kernels.
+        run_devices = (mesh.devices.ravel().tolist()
+                       if mesh is not None else [jax.devices()[0]])
+        run_is_tpu = all(dev.platform == "tpu" for dev in run_devices)
+        fused_tail = c.fused_tail if c.fused_tail is not None else run_is_tpu
+        # fused_attention auto stays off until hardware-validated
+        # (poca_cfg.py); forcing True/False always wins
+        fused_attention = bool(c.fused_attention)
         self.critic = POCACritic(
             state_dim=self.STATE_DIM, act_dim=self.act_dim_critic,
             num_agents=self.num_agents, hidden=c.hidden_dim,
             num_heads=c.critic_num_heads, num_layers=c.num_layers,
             compute_dtype=jnp.bfloat16 if c.mixed_precision else None,
             fused_tail=fused_tail,
+            fused_attention=fused_attention,
         )
 
         key = jax.random.PRNGKey(c.seed)
@@ -190,8 +199,10 @@ class POCATrainer:
                                     donate_argnums=(0,))
         self._rollout_seg_jit = jax.jit(
             partial(self._rollout_fn,
-                    length=c.horizon // max(1, c.rollout_segments)),
+                    length=c.horizon // max(1, c.rollout_segments),
+                    want_bootstrap=False),
             donate_argnums=(1,))
+        self._bootstrap_jit = jax.jit(self._bootstrap_fn)
 
     # ──────────────────────────────────────────────────────────────
     #  helpers
@@ -226,9 +237,11 @@ class POCATrainer:
     # ──────────────────────────────────────────────────────────────
 
     def _rollout_fn(self, params, env_state, obs, actor_carry, key,
-                    length=None):
+                    length=None, want_bootstrap=True):
         """Collect ``length`` (default horizon) decisions. Returns
-        (env_state, obs, actor_carry, key, rollout, bootstrap_value)."""
+        (env_state, obs, actor_carry, key, rollout, bootstrap_value).
+        ``want_bootstrap=False`` skips the end-of-rollout critic pass
+        (segmented rollouts only need it after the final segment)."""
         env = self.env
         E, N = self.num_envs, self.num_agents
         dp = self.cfg.decision_period
@@ -314,12 +327,17 @@ class POCATrainer:
             length=self.cfg.horizon if length is None else length,
         )
 
-        last_state = env.critic_state(env_state)
-        bootstrap = self.critic.apply(
-            {"params": params["critic"]}, last_state,
+        bootstrap = (self._bootstrap_fn(params["critic"], env_state)
+                     if want_bootstrap else None)
+        return env_state, obs, actor_carry, key, rollout, bootstrap, aux
+
+    def _bootstrap_fn(self, critic_params, env_state):
+        """V(s_T) for the λ-return bootstrap (poca_trainer.py:528-530)."""
+        last_state = self.env.critic_state(env_state)
+        return self.critic.apply(
+            {"params": critic_params}, last_state,
             method=self.critic.critic_pass,
         )[:, 0]
-        return env_state, obs, actor_carry, key, rollout, bootstrap, aux
 
     # ──────────────────────────────────────────────────────────────
     #  losses
@@ -773,7 +791,7 @@ class POCATrainer:
             # trajectories) are bit-identical to the unsegmented scan
             parts, auxes = [], []
             for _ in range(segs):
-                (env_state, obs, actor_carry, key, part, bootstrap,
+                (env_state, obs, actor_carry, key, part, _,
                  a) = self._rollout_seg_jit(self.train_state.params,
                                             env_state, obs, actor_carry, key)
                 parts.append(part)
@@ -782,6 +800,10 @@ class POCATrainer:
                 lambda *xs: jnp.concatenate(xs, axis=0), *parts)
             aux = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *auxes)
+            # the λ-return bootstrap only needs V(s_T) after the FINAL
+            # segment — one small program, not one critic pass per segment
+            bootstrap = self._bootstrap_jit(
+                self.train_state.params["critic"], env_state)
         # rollout is donated into the update prep; per-step stats come back
         # out of it (plus the env-side completed-reward snapshot from aux)
         train_state, metrics, stats = self._update_split(

@@ -50,6 +50,11 @@ LN_EPS = 1e-5
 
 
 def _on_tpu() -> bool:
+    """Interpret-mode fallback for callers that force the kernel without
+    passing ``interpret`` explicitly. Whether the kernel is used at all is
+    decided by POCATrainer from the devices it actually runs on (its
+    mesh's, if any) — this default-backend check only picks the execution
+    mode once the kernel was already chosen."""
     return jax.default_backend() == "tpu"
 
 

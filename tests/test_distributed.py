@@ -2,7 +2,6 @@
 --xla_force_host_platform_device_count=8)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -10,6 +9,8 @@ from swarmacb_tpu.agents import POCAConfig, POCATrainer
 from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
 from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
 from swarmacb_tpu.parallel import make_mesh, batch_sharding
+from helpers import assert_params_close as _params_close
+from helpers import run_iters
 
 
 def tiny(variant="tulip", num_envs=8, num_agents=4, **cfg_kw):
@@ -22,15 +23,9 @@ def tiny(variant="tulip", num_envs=8, num_agents=4, **cfg_kw):
 
 
 def _iter(trainer, n=1):
-    key = jax.random.PRNGKey(7)
-    env_state, obs = trainer.env.reset(key)
-    carry = trainer.init_actor_carry() if trainer.recurrent else ()
-    if trainer.mesh is not None:
-        env_state, obs, carry = trainer.place_on_mesh(env_state, obs, carry)
-    m = None
-    for _ in range(n):
-        env_state, obs, carry, m = trainer.train_iteration(env_state, obs, carry)
-    return trainer, m
+    """Shared runner (helpers.run_iters) with this module's RNG seed;
+    returns the trainer too for the chained call sites below."""
+    return trainer, run_iters(trainer, n=n, key_seed=7)
 
 
 def test_eight_devices_available():
@@ -106,11 +101,6 @@ def test_mesh_two_devices():
     assert np.isfinite(m["policy_loss"])
 
 
-def _params_close(t_a, t_b, rtol=1e-5, atol=1e-7):
-    for a, b in zip(jax.tree_util.tree_leaves(t_a.train_state.params),
-                    jax.tree_util.tree_leaves(t_b.train_state.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=rtol, atol=atol)
 
 
 def test_mesh_split_update_matches_fused():
@@ -148,3 +138,20 @@ def test_mesh_split_update_recurrent_matches_fused():
     _params_close(t_fused, t_split)
     for k in ("policy_loss", "value_loss", "baseline_loss", "entropy"):
         np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-6)
+
+
+def test_fused_tail_auto_keys_off_run_devices(monkeypatch):
+    """fused_tail auto-detection must follow the devices the trainer runs
+    on (the mesh's), not the process default backend: a CPU mesh in a
+    TPU-backend process must NOT select the Mosaic kernel."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    env, cfg = tiny(num_envs=8)
+    assert cfg.fused_tail is None  # auto
+    trainer = POCATrainer(env, cfg, mesh=make_mesh(8))  # CPU devices
+    assert trainer.critic.fused_tail is False
+    # an explicit config wins over auto-detection (False is the safe
+    # direction to force here: forcing True off-TPU would eagerly run the
+    # Mosaic kernel through flax init and fail, by design)
+    env2, cfg2 = tiny(num_envs=8, fused_tail=False)
+    t2 = POCATrainer(env2, cfg2, mesh=make_mesh(8))
+    assert t2.critic.fused_tail is False

@@ -1,38 +1,11 @@
 """Trainer integration tests on tiny configs (CPU)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from swarmacb_tpu.agents import Checkpointer, POCAConfig, POCATrainer
-from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
-from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
-
-
-def tiny_cfg(**kw):
-    base = dict(
-        horizon=8, num_epochs=2, mini_batch_size=8, hidden_dim=16,
-        num_layers=1, total_timesteps=10_000, buffer_size_hint=0,
-        summary_freq=10**9, checkpoint_interval=10**9, seed=0,
-    )
-    base.update(kw)
-    return POCAConfig(**base)
-
-
-def tiny_env(variant="tulip", num_envs=2, num_agents=4):
-    return DirectionalGateEnv(DirectionalGateEnvCfg(
-        variant=variant, num_envs=num_envs, num_agents=num_agents))
-
-
-def _run_iters(trainer, n=2):
-    key = jax.random.PRNGKey(42)
-    env_state, obs = trainer.env.reset(key)
-    carry = trainer.init_actor_carry() if trainer.recurrent else ()
-    metrics = None
-    for _ in range(n):
-        env_state, obs, carry, metrics = trainer.train_iteration(env_state, obs, carry)
-    return metrics
+from helpers import run_iters as _run_iters
+from helpers import tiny_cfg, tiny_env
+from swarmacb_tpu.agents import Checkpointer, POCATrainer
 
 
 def test_discrete_trainer_runs():
