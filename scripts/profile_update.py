@@ -56,9 +56,14 @@ def main():
     p.add_argument("--hidden_dim", type=int, default=512)
     p.add_argument("--mb_groups", type=int, default=1024)
     p.add_argument("--platform", default=None)
+    p.add_argument("--fused_tail", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="baseline-tail Pallas kernel for the measured "
+                        "trainer (auto = POCAConfig default: on on TPU)")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    fused_tail = {"auto": None, "on": True, "off": False}[args.fused_tail]
 
     from swarmacb_tpu.agents import POCAConfig, POCATrainer
     from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
@@ -71,8 +76,9 @@ def main():
     cfg = POCAConfig(horizon=args.horizon, num_epochs=3, mini_batch_size=2048,
                      buffer_size_hint=20480, hidden_dim=args.hidden_dim,
                      num_layers=2, total_timesteps=10**9,
-                     split_update_groups=0)
+                     split_update_groups=0, fused_tail=fused_tail)
     tr = POCATrainer(env, cfg)
+    print(f"fused_tail: {tr.critic.fused_tail}")
     key = jax.random.PRNGKey(0)
     env_state, obs = env.reset(key)
 

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "counterfactual pass (ops/baseline_tail.py). "
                         "'config' defers to POCAConfig.fused_tail "
                         "(None there = auto-on on TPU)")
+    p.add_argument("--fused_attention", type=str, default="config",
+                   choices=["config", "on", "off"],
+                   help="Fully-fused counterfactual-attention kernel "
+                        "(ops/cf_attention.py) — scores to pooled rows in "
+                        "one Pallas program; supersedes --fused_tail when "
+                        "on. 'config' defers to POCAConfig.fused_attention")
     p.add_argument("--distributed", action="store_true",
                    help="Initialize jax.distributed for multi-host training")
     p.add_argument("--data_parallel", type=str, default="auto",
@@ -131,6 +137,8 @@ def main():
         cfg.mixed_precision = True
     if args.fused_tail != "config":
         cfg.fused_tail = args.fused_tail == "on"
+    if args.fused_attention != "config":
+        cfg.fused_attention = args.fused_attention == "on"
     if args.num_envs is not None:
         env_overrides["num_envs"] = args.num_envs
 

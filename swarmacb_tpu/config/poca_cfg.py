@@ -103,6 +103,15 @@ class POCAConfig:
     # exists but is slow); True/False forces.
     fused_tail: "bool | None" = None
 
+    # Fully-fused counterfactual attention (ops/cf_attention.py): scores →
+    # softmax → value contraction → fc/LN/pool in one Pallas kernel — no
+    # (B, I, H, n, m) score/attention tensor is ever materialized, fwd or
+    # bwd. Supersedes fused_tail when on. CPU-parity-tested
+    # (tests/test_cf_attention.py); off by default until hardware-validated
+    # (the fused_tail rollout process). None = auto (currently off
+    # everywhere); True/False forces.
+    fused_attention: "bool | None" = None
+
     # Mixed precision (VERDICT r1 next-round #1): keep the critic's
     # counterfactual-attention HBM tiles (attention output, fc_out,
     # residual) in bf16; params, scores/softmax, LayerNorm stats, losses,

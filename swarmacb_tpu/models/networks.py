@@ -328,6 +328,11 @@ class POCACritic(nn.Module):
     # supersedes compute_dtype in the tail when enabled. Auto-enabled on
     # TPU by POCATrainer (POCAConfig.fused_tail).
     fused_tail: bool = False
+    # Fully-fused counterfactual attention (ops/cf_attention.py): scores →
+    # softmax → value contraction → fc/LN/pool in one kernel, consuming the
+    # raw (B, H, N, N) score tensors — no (B, I, H, n, m) score/attention
+    # tensor is ever materialized. Supersedes fused_tail when enabled.
+    fused_attention: bool = False
 
     def setup(self):
         self.obs_entity_enc = EntityEmbedding(self.hidden, name="obs_entity_enc")
@@ -361,6 +366,14 @@ class POCACritic(nn.Module):
         nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(n_agents),
                       dtype=encoding.dtype)
         return self.value_head(jnp.concatenate([encoding, nc], axis=-1))
+
+    def _pooled_to_values(self, pooled, B, N):
+        """Post-pool tail: linear encoder → (+norm agent count) → value."""
+        encoding = self.linear_encoder(pooled)
+        nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(N),
+                      dtype=encoding.dtype)
+        values = self.value_head(jnp.concatenate([encoding, nc], axis=-1))
+        return values.reshape(B, N)
 
     def critic_pass(self, all_states):
         """Team value V(s): (B, N, state_dim) → (B, 1)."""
@@ -441,6 +454,26 @@ class POCACritic(nn.Module):
         S_as = jnp.einsum("bhnd,bhmd->bhnm", qa, ks, preferred_element_type=f32)
         S_ss = (qs.astype(f32) * ks.astype(f32)).sum(-1)               # (B,H,N)
 
+        # fold W_out into the per-head values: w[b,h,m,o] = v_h[m]·W_out[h]
+        tile_dtype = self.compute_dtype or f32
+        kernel = rsa.fc_out.variables["params"]["kernel"]      # (h, h)
+        bias = rsa.fc_out.variables["params"]["bias"]
+        Wh = kernel.reshape(H, d, h)
+        wa = jnp.einsum("bhmd,hdo->bhmo", va, Wh,
+                        preferred_element_type=f32)
+        dws = jnp.einsum("bhmd,hdo->bhmo", vs - va, Wh,
+                         preferred_element_type=f32)           # (B,H,I,h)
+
+        if self.fused_attention:
+            # one Pallas kernel from raw scores to pooled rows: the
+            # (B, I, H, n, m) score/softmax tensors below never exist
+            from ..ops.cf_attention import fused_cf_attention
+
+            pooled = fused_cf_attention(
+                S_aa, S_as, S_sa, S_ss[..., None], wa, dws, x_a, x_s - x_a,
+                bias, d, None)
+            return self._pooled_to_values(pooled.reshape(B * N, h), B, N)
+
         ii = jnp.arange(N)
         I_idx = ii[None, :, None, None, None]
         n_idx = ii[None, None, None, :, None]
@@ -455,16 +488,6 @@ class POCACritic(nn.Module):
                            jnp.where(n_idx == I_idx, diag_I, col_I), scores)
         attn = jax.nn.softmax(scores / math.sqrt(d), axis=-1)  # (B,I,H,n,m)
 
-        # fold W_out into the per-head values: w[b,h,m,o] = v_h[m]·W_out[h]
-        tile_dtype = self.compute_dtype or f32
-        kernel = rsa.fc_out.variables["params"]["kernel"]      # (h, h)
-        bias = rsa.fc_out.variables["params"]["bias"]
-        Wh = kernel.reshape(H, d, h)
-        wa = jnp.einsum("bhmd,hdo->bhmo", va, Wh,
-                        preferred_element_type=f32)
-        dws = jnp.einsum("bhmd,hdo->bhmo", vs - va, Wh,
-                         preferred_element_type=f32)           # (B,H,I,h)
-
         if self.fused_tail:
             # Pallas tail: fc/LN/pool entirely in VMEM (fwd + custom vjp)
             from ..ops.baseline_tail import fused_tail
@@ -477,12 +500,7 @@ class POCACritic(nn.Module):
                                           axis=-1)[..., 0].transpose(0, 2, 1, 3)
             pooled = fused_tail(lhs, attn_mI, wa.reshape(B, H * N, h),
                                 dws, x_a, x_s - x_a, bias, N, None)
-            pooled = pooled.reshape(B * N, h)
-            encoding = self.linear_encoder(pooled)
-            nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(N),
-                          dtype=encoding.dtype)
-            values = self.value_head(jnp.concatenate([encoding, nc], axis=-1))
-            return values.reshape(B, N)
+            return self._pooled_to_values(pooled.reshape(B * N, h), B, N)
         wa = wa.astype(tile_dtype)
 
         # fc[b,I,n,o] = Σ_{h,m} attn·wa (+ rank-1 diagonal correction),
@@ -505,13 +523,7 @@ class POCACritic(nn.Module):
                             (x_s - x_a)[:, :, None, :].astype(tile_dtype), 0.0)
         # LayerNorm statistics in f32 regardless of the tile dtype
         y = rsa.residual_norm(fc.reshape(B * N, N, h).astype(f32))
-        pooled = y.mean(axis=1)
-
-        encoding = self.linear_encoder(pooled)
-        nc = jnp.full((encoding.shape[0], 1), self._norm_agent_count(N),
-                      dtype=encoding.dtype)
-        values = self.value_head(jnp.concatenate([encoding, nc], axis=-1))
-        return values.reshape(B, N)
+        return self._pooled_to_values(y.mean(axis=1), B, N)
 
     def __call__(self, all_states, all_actions):
         """Init-friendly entry touching every submodule."""

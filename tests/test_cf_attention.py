@@ -1,0 +1,110 @@
+"""Parity tests for the fused counterfactual-attention kernel
+(ops/cf_attention.py) against the pure-XLA assembled-scores composition,
+in interpret mode (CPU). Hardware validation mirrors
+scripts/tpu_validate_fused_tail.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swarmacb_tpu.ops.cf_attention import cf_reference, fused_cf_attention
+
+
+def _inputs(key, B=4, H=2, N=6, h=64, d=16, score_scale=3.0):
+    ks = jax.random.split(key, 9)
+    # scores at trained-like magnitude (stress the incremental softmax)
+    S_aa = jax.random.normal(ks[0], (B, H, N, N)) * score_scale
+    S_as = jax.random.normal(ks[1], (B, H, N, N)) * score_scale
+    S_sa = jax.random.normal(ks[2], (B, H, N, N)) * score_scale
+    S_ss = jax.random.normal(ks[3], (B, H, N, 1)) * score_scale
+    wa = jax.random.normal(ks[4], (B, H, N, h))
+    dws = jax.random.normal(ks[5], (B, H, N, h))
+    x_a = jax.random.normal(ks[6], (B, N, h))
+    delta = jax.random.normal(ks[7], (B, N, h))
+    bias = jax.random.normal(ks[8], (h,))
+    return (S_aa, S_as, S_sa, S_ss, wa, dws, x_a, delta, bias), d
+
+
+@pytest.mark.parametrize("shape", [dict(), dict(B=2, H=4, N=20, h=128, d=32),
+                                   dict(B=3, N=5, score_scale=8.0)])
+def test_forward_matches_reference(shape):
+    args, d = _inputs(jax.random.PRNGKey(0), **shape)
+    ref = cf_reference(*args, d)
+    out = fused_cf_attention(*args, d, True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference():
+    args, d = _inputs(jax.random.PRNGKey(1))
+    probe = jax.random.normal(jax.random.PRNGKey(2), (4, 6, 64))
+
+    def loss_ref(*a):
+        return (cf_reference(*a, d) * probe).sum()
+
+    def loss_ker(*a):
+        return (fused_cf_attention(*a, d, True) * probe).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    g_ker = jax.grad(loss_ker, argnums=tuple(range(9)))(*args)
+    names = ["S_aa", "S_as", "S_sa", "S_ss", "wa", "dws", "x_a", "delta",
+             "bias"]
+    for name, a, b in zip(names, g_ref, g_ker):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_gradients_match_large_scores():
+    """Stress the shared-max / incremental-Z numerics with near-saturated
+    softmax rows (one entry dominates — the cancellation-prone regime)."""
+    args, d = _inputs(jax.random.PRNGKey(3), score_scale=12.0)
+    probe = jax.random.normal(jax.random.PRNGKey(4), (4, 6, 64))
+    g_ref = jax.grad(lambda *a: (cf_reference(*a, d) * probe).sum(),
+                     argnums=(0, 1, 2, 3))(*args)
+    g_ker = jax.grad(lambda *a: (fused_cf_attention(*a, d, True)
+                                 * probe).sum(), argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_odd_batch_blocking():
+    """B with no divisor under the block budget still works (G falls to 1)."""
+    args, d = _inputs(jax.random.PRNGKey(5), B=5)
+    ref = cf_reference(*args, d)
+    out = fused_cf_attention(*args, d, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_critic_fused_attention_matches_plain():
+    """POCACritic.all_baselines with fused_attention=True (interpret mode
+    off-TPU) must match the pure-XLA path: values and parameter grads."""
+    from swarmacb_tpu.models.networks import POCACritic
+
+    kw = dict(state_dim=5, act_dim=6, num_agents=8, hidden=32,
+              num_heads=4, num_layers=2)
+    plain = POCACritic(**kw)
+    fused = POCACritic(**kw, fused_attention=True)
+    states = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 5))
+    actions = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 6))
+    params = plain.init(jax.random.PRNGKey(3), states, actions)
+
+    def run(m, p):
+        return m.apply(p, states, actions, method=m.all_baselines)
+
+    np.testing.assert_allclose(np.asarray(run(fused, params)),
+                               np.asarray(run(plain, params)),
+                               rtol=1e-5, atol=1e-5)
+
+    g_plain = jax.grad(lambda p: run(plain, p).sum())(params)
+    g_fused = jax.grad(lambda p: run(fused, p).sum())(params)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_plain)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    for (path, a), (_, b) in zip(flat_p, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
