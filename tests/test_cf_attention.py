@@ -3,6 +3,8 @@
 in interpret mode (CPU). Hardware validation mirrors
 scripts/tpu_validate_fused_tail.py."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,3 +110,23 @@ def test_critic_fused_attention_matches_plain():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.skipif(os.environ.get("SWARMACB_SLOW_TESTS") != "1",
+                    reason="slow: shard_map + interpret-mode Pallas "
+                           "(set SWARMACB_SLOW_TESTS=1; ad-hoc-verified "
+                           "on a 2-device CPU mesh)")
+def test_fused_attention_under_mesh():
+    """The kernel must compile and run inside the shard_map update on a
+    data-parallel mesh (the multi-chip layout)."""
+    from helpers import run_iters, tiny_cfg, tiny_env
+    from swarmacb_tpu.agents import POCATrainer
+    from swarmacb_tpu.parallel import make_mesh
+
+    trainer = POCATrainer(tiny_env(num_envs=4),
+                          tiny_cfg(horizon=4, num_epochs=1,
+                                   fused_attention=True),
+                          mesh=make_mesh(2))
+    m = run_iters(trainer, n=1)
+    for k in ("policy_loss", "value_loss", "baseline_loss"):
+        assert np.isfinite(m[k])
