@@ -85,7 +85,8 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
 
 
 def bench_train_iteration(variant="dandelion", E=64, N=20,
-                          mixed_precision=False, fused_tail=None):
+                          mixed_precision=False, fused_tail=None,
+                          fused_attention=None):
     """Secondary: full fused rollout(T=100)+update iteration throughput."""
     import jax
 
@@ -98,7 +99,7 @@ def bench_train_iteration(variant="dandelion", E=64, N=20,
     cfg = POCAConfig(horizon=100, num_epochs=3, mini_batch_size=2048,
                      buffer_size_hint=20480, hidden_dim=512, num_layers=2,
                      total_timesteps=10**9, mixed_precision=mixed_precision,
-                     fused_tail=fused_tail)
+                     fused_tail=fused_tail, fused_attention=fused_attention)
     trainer = POCATrainer(env, cfg)
     key = jax.random.PRNGKey(0)
     env_state, obs = env.reset(key)
@@ -114,7 +115,9 @@ def bench_train_iteration(variant="dandelion", E=64, N=20,
     dt = time.perf_counter() - t0
     decisions = reps * cfg.horizon * E * N
     tag = "bf16 tiles" if mixed_precision else "f32"
-    if fused_tail is None:
+    if fused_attention:
+        tag += ", fused cf-attention"
+    elif fused_tail is None:
         tag += ", fused-tail auto"
     elif not fused_tail:
         tag += ", no fused tail"
@@ -139,6 +142,7 @@ def main():
         bench_train_iteration(mixed_precision=True)
         if jax.default_backend() == "tpu":
             bench_train_iteration(fused_tail=False)    # pre-kernel baseline
+            bench_train_iteration(fused_attention=True)  # full-fusion kernel
     except Exception as e:
         log(f"[bench] train-iteration comparison bench failed: {e!r}")
 
