@@ -59,17 +59,32 @@ run_train() {
   if [ -n "$(ls "$ROOT/checkpoints/$run" 2>/dev/null)" ]; then
     resume="--checkpoint latest"
   fi
-  for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
+  local attempt=1
+  while [ "$attempt" -le "$MAX_ATTEMPTS" ]; do
     wait_healthy
+    local before
+    before="$(ls -t "$ROOT/checkpoints/$run" 2>/dev/null | head -1)"
     note "$run attempt $attempt (resume='$resume')"
+    # stdin redirected: in spec-file mode the surrounding while-read loop
+    # owns stdin, and a child that reads it would eat queued spec lines
     timeout "$RUN_TIMEOUT" python3 "$ROOT/scripts/train.py" \
       --config "$ROOT/configs/DirGate_${variant}.yaml" \
       --seed "$seed" --num_envs "$NUM_ENVS" \
       --log_dir "$ROOT/runs/$run" --checkpoint_dir "$ROOT/checkpoints/$run" \
-      $resume "$@" >> "/tmp/queue_${run}.log" 2>&1
+      $resume "$@" < /dev/null >> "/tmp/queue_${run}.log" 2>&1
     local rc=$?
     if [ "$rc" -eq 0 ]; then note "$run DONE"; return 0; fi
-    note "$run failed rc=$rc; retrying from latest checkpoint"
+    local after
+    after="$(ls -t "$ROOT/checkpoints/$run" 2>/dev/null | head -1)"
+    if [ "$rc" -eq 124 ] && [ "$after" != "$before" ]; then
+      # clean RUN_TIMEOUT slice that advanced the newest checkpoint: a
+      # long healthy run, not a failure — resume without burning attempts
+      # (SLURM-walltime-class runs complete as a chain of such slices)
+      note "$run timed out but advanced to $after; not counting attempt"
+    else
+      note "$run failed rc=$rc (attempt $attempt/$MAX_ATTEMPTS)"
+      attempt=$((attempt + 1))
+    fi
     resume="--checkpoint latest"
     sleep 60
   done
@@ -79,11 +94,13 @@ run_train() {
 
 note "queue start"
 if [ "$#" -ge 1 ] && [ -f "$1" ]; then
-  # spec file: "<variant> <seed> [extra train.py args]" per line, # comments
-  grep -vE '^\s*(#|$)' "$1" | while read -r variant seed extra; do
+  # spec file: "<variant> <seed> [extra train.py args]" per line, # comments.
+  # Process substitution (not a pipe) keeps the loop in the main shell so
+  # wait_healthy's abort exits the whole queue instead of a subshell.
+  while read -r variant seed extra; do
     # shellcheck disable=SC2086
     run_train "$variant" "$seed" $extra
-  done
+  done < <(grep -vE '^\s*(#|$)' "$1")
 else
   for variant in ${VARIANTS:-dandelion daisy lily tulip cyclamen}; do
     for seed in ${SEEDS:-0 1 2 3}; do

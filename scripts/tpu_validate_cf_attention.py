@@ -43,7 +43,12 @@ NAMES = ("S_aa", "S_as", "S_sa", "S_ss", "wa", "dws", "x_a", "delta",
 
 def tail_pipeline(S_aa, S_as, S_sa, S_ss, wa, dws, x_a, delta, bias, d):
     """The round-2 production path: XLA score assembly + softmax +
-    transposes feeding the fused baseline-tail kernel."""
+    transposes feeding the fused baseline-tail kernel.
+
+    Deliberately a frozen copy of what networks.py::all_baselines shipped
+    in round 2 (fused_tail branch), NOT an import — the point of this
+    comparison lane is a stable historical baseline, so it must not track
+    later production changes."""
     from swarmacb_tpu.ops.baseline_tail import fused_tail
 
     B, H, N, _ = S_aa.shape
