@@ -107,9 +107,14 @@ class POCAConfig:
     # softmax → value contraction → fc/LN/pool in one Pallas kernel — no
     # (B, I, H, n, m) score/attention tensor is ever materialized, fwd or
     # bwd. Supersedes fused_tail when on. CPU-parity-tested
-    # (tests/test_cf_attention.py); off by default until hardware-validated
-    # (the fused_tail rollout process). None = auto (currently off
-    # everywhere); True/False forces.
+    # (tests/test_cf_attention.py) and hardware-validated
+    # (scripts/tpu_validate_cf_attention.py, v5e, B=1600): forward it is
+    # 1.7× faster than the production path (12.7 vs 21.6 ms), but its
+    # flash-style backward recompute does not pay at N=20 — fwd+bwd it
+    # LOSES to the assembled-scores + fused-tail path (46.2 vs 39.0 ms)
+    # and one cotangent (wa) lands marginally outside the no-worse-than-
+    # XLA band. Kept as an off-by-default lane (BENCH_NOTES.md §round-2
+    # full fusion). None = auto (off everywhere); True/False forces.
     fused_attention: "bool | None" = None
 
     # Mixed precision (VERDICT r1 next-round #1): keep the critic's
