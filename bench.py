@@ -139,8 +139,8 @@ def main():
     # comparison variants: a failure here must not erase the measured
     # primary train SPS above
     try:
-        bench_train_iteration(mixed_precision=True)
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu":  # bf16 tiles are TPU-only news
+            bench_train_iteration(mixed_precision=True)
             bench_train_iteration(fused_tail=False)    # pre-kernel baseline
             bench_train_iteration(fused_attention=True)  # full-fusion kernel
     except Exception as e:

@@ -44,8 +44,9 @@ def main(argv=None):
     for run in args.runs:
         run_dir = pathlib.Path(run)
         rows = extract(run_dir, args.tag)
-        if rows is None:
-            print(f"[extract] {run}: tag {args.tag!r} not found", file=sys.stderr)
+        if not rows:  # None (tag absent) or registered-but-empty scalars
+            print(f"[extract] {run}: no data for tag {args.tag!r}",
+                  file=sys.stderr)
             rc = 1
             continue
         out = out_dir / f"{run_dir.name}__{slug}.csv"

@@ -109,6 +109,7 @@ def _banner_rows(run_name, variant, cfg: POCAConfig, env_ov: dict):
     yield None, f"Run name : {run_name}"
     yield None, f"CASA variant : {variant}"
     yield None, "Trainer : POCA (JAX / TPU)"
+    yield None, None                           # rule between header and body
     yield "Hyperparameters", None
     yield "batch_size", cfg.mini_batch_size
     yield "learning_rate", f"{cfg.lr}  (schedule: {cfg.lr_schedule})"
@@ -142,11 +143,12 @@ def print_config(run_name: str, variant: str, cfg: POCAConfig, env_ov: dict):
     rule = "─" * 60
     lines = [rule]
     for label, value in _banner_rows(run_name, variant, cfg, env_ov):
-        if label is None:                      # header line
+        if label is None and value is None:    # explicit rule row
+            lines.append(rule)
+        elif label is None:                    # header line
             lines.append(f"  {value}")
         elif value is None:                    # section title
-            lines += [rule, f"  {label}"] if label == "Hyperparameters" \
-                else [f"  {label}"]
+            lines.append(f"  {label}")
         else:
             lines.append(f"    {label:<20}: {value}")
     lines.append(rule)

@@ -182,11 +182,17 @@ def _bias_block(h):
     return pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _pick_G(B, bwd=False):
-    # Scoped VMEM (16M) bounds the block: G=8 fwd needs 18.3M (measured).
-    # The bwd kernel holds ~2x the live state (fc recompute + d_fc +
-    # cotangent output blocks), so it gets half the group count.
-    for g in ((2,) if bwd else (4, 2)):
+def _pick_G(B, N, h, bwd=False):
+    # Scoped VMEM (16M) bounds the block. Live state per group is
+    # dominated by (N, N, h)-shaped blocks (fc, attn_lhs), so the group
+    # budget scales inversely with N²·h. Measured anchor at N=20, h=512:
+    # G=8 fwd needs 18.3M (exceeds scope), G=4 fits. The bwd kernel
+    # holds ~2x the live state (fc recompute + d_fc + cotangent output
+    # blocks), so it gets half the group count.
+    budget = max(1, (4 * 20 * 20 * 512) // (N * N * h))
+    if bwd:
+        budget = max(1, budget // 2)
+    for g in range(min(budget, B), 0, -1):
         if B % g == 0:
             return g
     return 1
@@ -199,7 +205,7 @@ def _fused_tail_fwd(attn_lhs, attn_mI, wa, dws, x_a, delta, bias, N,
     H = HM // N
     if interpret is None:
         interpret = not _on_tpu()
-    G = _pick_G(B)
+    G = _pick_G(B, N, h)
     bias2 = bias.reshape(1, h)
     kernel = functools.partial(_fwd_kernel, G=G, N=N, H=H, h=h)
     out = pl.pallas_call(
@@ -222,7 +228,7 @@ def _fused_tail_bwd(N, interpret, res, dout):
     H = HM // N
     if interpret is None:
         interpret = not _on_tpu()
-    G = _pick_G(B, bwd=True)
+    G = _pick_G(B, N, h, bwd=True)
     kernel = functools.partial(_bwd_kernel, G=G, N=N, H=H, h=h)
     outs = pl.pallas_call(
         kernel,

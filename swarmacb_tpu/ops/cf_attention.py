@@ -59,9 +59,9 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from .baseline_tail import LN_EPS, _eye_mask, _ln_stats, _on_tpu
+from .baseline_tail import (LN_EPS, _bias_block, _block, _eye_mask,
+                            _ln_stats, _on_tpu)
 
 
 # ──────────────────────────────────────────────────────────────────────
@@ -250,15 +250,6 @@ def fused_cf_attention(S_aa, S_as, S_sa, S_ss, wa, dws, x_a, delta, bias,
     out, _ = _cf_fwd(S_aa, S_as, S_sa, S_ss, wa, dws, x_a, delta, bias,
                      d, interpret)
     return out
-
-
-def _block(G, *shape):
-    return pl.BlockSpec((G,) + shape, lambda i: (i,) + (0,) * len(shape),
-                        memory_space=pltpu.VMEM)
-
-
-def _bias_block(h):
-    return pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def _pick_G(B, h, bwd=False):
