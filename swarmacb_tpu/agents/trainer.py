@@ -111,9 +111,17 @@ class POCATrainer:
         run_devices = (mesh.devices.ravel().tolist()
                        if mesh is not None else [jax.devices()[0]])
         run_is_tpu = all(dev.platform == "tpu" for dev in run_devices)
-        fused_tail = c.fused_tail if c.fused_tail is not None else run_is_tpu
-        # fused_attention auto stays off until hardware-validated
-        # (poca_cfg.py); forcing True/False always wins
+        # auto-on only where the kernel's backward block fits scoped VMEM
+        # (ops/baseline_tail.py:_pick_G — a G=1 backward group holds
+        # ~2·N²·h·9 f32 values of live state; past h=1024 at N=20 that
+        # exceeds the 16M scope and Mosaic refuses to compile). Forcing
+        # fused_tail=True still wins, e.g. for small-N large-h configs.
+        tail_fits = c.hidden_dim * self.num_agents ** 2 <= 1024 * 20 ** 2
+        fused_tail = (c.fused_tail if c.fused_tail is not None
+                      else run_is_tpu and tail_fits)
+        # fused_attention auto stays off: hardware-validated but measured
+        # slower fwd+bwd than the fused-tail path (poca_cfg.py); forcing
+        # True/False always wins
         fused_attention = bool(c.fused_attention)
         self.critic = POCACritic(
             state_dim=self.STATE_DIM, act_dim=self.act_dim_critic,
