@@ -24,37 +24,72 @@ class Checkpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.keep = keep
         self._ckptr = ocp.StandardCheckpointer()
+        # (path, metadata) of an async save whose sidecar metadata write
+        # and rotation are still pending — finalized lazily at the next
+        # save (or immediately for final/quarantine saves)
+        self._pending: tuple[Path, dict] | None = None
 
     # ── save ──────────────────────────────────────────────────────
     def save(self, trainer, final: bool = False, quarantine: bool = False):
         """``quarantine``: save under ``poca_diverged_<step>`` — kept for
         post-mortem but excluded from ``latest()`` and rotation, so a
         divergence never becomes the auto-resume point nor evicts the
-        last good checkpoint."""
+        last good checkpoint.
+
+        Periodic saves are ASYNC: the params are snapshotted to host
+        memory (so the writer holds no device buffers — donation-safe)
+        and the orbax write overlaps the next training iterations; the
+        reference's checkpoint_interval of 120k agent-decisions means a
+        save per ~2 s iteration at E=16, and blocking on each one was
+        measured to cost ~2/3 of training wall time. The metadata
+        sidecar + rotation for a save are finalized at the NEXT save
+        call (orbax commits the directory by atomic rename, so metadata
+        can only be written after the write completes); final and
+        quarantine saves finalize immediately.
+        """
+        self._finalize_pending()
         if quarantine:
             name = f"poca_diverged_{trainer.global_step}"
         else:
             name = "poca_final" if final else f"poca_{trainer.global_step}"
         path = self.dir / name
-        payload = {
-            "params": trainer.train_state.params,
-            "opt_state": trainer.train_state.opt_state,
-        }
+        payload = jax.tree_util.tree_map(
+            lambda x: jax.device_get(x),
+            {
+                "params": trainer.train_state.params,
+                "opt_state": trainer.train_state.opt_state,
+            })
         self._ckptr.save(path, payload, force=True)
-        self._ckptr.wait_until_finished()  # orbax saves asynchronously
-        # In multi-process runs orbax coordinates the array save across
-        # hosts, but the sidecar metadata write and rotation are plain
-        # filesystem ops — run them on process 0 only (after the barrier
-        # above) so concurrent writers can't race on a shared filesystem.
+        meta = dict(trainer.checkpoint_metadata())
+        meta.update(global_step=trainer.global_step,
+                    update_count=trainer.update_count)
+        self._pending = (path, meta)
+        if final or quarantine:
+            self._finalize_pending(rotate=False)
+        return path
+
+    def flush(self):
+        """Block until the in-flight async save (if any) is committed and
+        finalized (metadata written, rotation applied)."""
+        self._finalize_pending()
+
+    def _finalize_pending(self, rotate: bool = True):
+        """Wait for the in-flight async save, then write its metadata
+        sidecar and rotate. In multi-process runs orbax coordinates the
+        array save across hosts, but the metadata write and rotation are
+        plain filesystem ops — run them on process 0 only (after the
+        barrier) so concurrent writers can't race on a shared
+        filesystem."""
+        if self._pending is None:
+            return
+        self._ckptr.wait_until_finished()
+        path, meta = self._pending
+        self._pending = None
         if jax.process_index() == 0:
-            meta = dict(trainer.checkpoint_metadata())
-            meta.update(global_step=trainer.global_step,
-                        update_count=trainer.update_count)
             (path / "metadata.json").write_text(json.dumps(meta))
             print(f"[POCA] Saved → {path}")
-            if not (final or quarantine):
+            if rotate and self._is_numbered(path):
                 self._rotate()
-        return path
 
     @staticmethod
     def _is_numbered(p: Path) -> bool:
@@ -83,6 +118,7 @@ class Checkpointer:
     def restore(self, path: str | Path, trainer):
         """Restore params/opt_state/counters into a built trainer
         (poca_trainer.py:1002-1009)."""
+        self._finalize_pending()
         path = Path(path).absolute()
         target = {
             "params": trainer.train_state.params,
@@ -122,11 +158,24 @@ class Checkpointer:
         return restored["params"]
 
     def latest(self) -> Path | None:
-        """Newest resumable checkpoint: numbered ones and ``poca_final``
-        (quarantined ``poca_diverged_*`` saves never auto-resume)."""
-        candidates = sorted(
-            (p for p in self.dir.glob("poca_*")
-             if self._is_numbered(p) or (p.is_dir() and p.name == "poca_final")),
-            key=lambda p: p.stat().st_mtime,
-        )
-        return candidates[-1] if candidates else None
+        """Newest resumable checkpoint — numbered ``poca_<step>`` saves
+        only. ``poca_final`` is written at ``total_timesteps``, so resuming
+        from it makes the training loop exit immediately: a user passing
+        ``--checkpoint latest`` to re-train (e.g. with a raised budget)
+        would get a silent no-op. Preferring the newest periodic
+        checkpoint keeps the resume actionable; ``poca_final`` is used
+        only when no numbered checkpoint exists (rotation never deletes
+        all of them, so that means a rotated-away history). Quarantined
+        ``poca_diverged_*`` saves never auto-resume."""
+        self._finalize_pending()
+        # require the metadata sidecar: a crash between an async orbax
+        # commit and its deferred metadata write leaves a dir that cannot
+        # be restored from — fall back to the previous complete save
+        numbered = sorted((p for p in self.dir.glob("poca_*")
+                           if self._is_numbered(p)
+                           and (p / "metadata.json").exists()),
+                          key=lambda p: p.stat().st_mtime)
+        if numbered:
+            return numbered[-1]
+        final = self.dir / "poca_final"
+        return final if (final / "metadata.json").exists() else None

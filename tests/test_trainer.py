@@ -138,6 +138,7 @@ def test_checkpoint_rotation(tmp_path):
     for i in range(4):
         trainer.global_step = (i + 1) * 100
         ck.save(trainer)
+    ck.flush()  # saves are async; finalize before asserting disk state
     kept = sorted(p.name for p in tmp_path.glob("poca_*"))
     assert len(kept) == 2
     assert "poca_400" in kept
@@ -159,6 +160,9 @@ def test_quarantined_checkpoint_never_resumes(tmp_path):
     for step in (300, 400, 500):
         trainer.global_step = step
         ck.save(trainer)
+    # periodic saves are async (metadata/rotation deferred to the next
+    # save) — flush before asserting on-disk state
+    ck.flush()
     names = {p.name for p in tmp_path.glob("poca_*")}
     assert "poca_diverged_200" in names
     assert names - {"poca_diverged_200"} == {"poca_400", "poca_500"}
