@@ -54,8 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="Force a JAX platform (tpu/cpu)")
     p.add_argument("--mixed_precision", action="store_true",
-                   help="bf16 tiles in the critic's counterfactual "
-                        "attention (params/losses stay f32); see "
+                   help="bf16 matmul operands in the critic (params/"
+                        "residuals/losses stay f32); see "
                         "POCAConfig.mixed_precision")
     p.add_argument("--use_pallas", type=str, default="auto",
                    choices=["auto", "on", "off"],

@@ -117,12 +117,14 @@ class POCAConfig:
     # full fusion). None = auto (off everywhere); True/False forces.
     fused_attention: "bool | None" = None
 
-    # Mixed precision (VERDICT r1 next-round #1): keep the critic's
-    # counterfactual-attention HBM tiles (attention output, fc_out,
-    # residual) in bf16; params, scores/softmax, LayerNorm stats, losses,
-    # log-probs and the optimizer stay f32. ~1.3× faster updates on v5e;
-    # validated against the f32 path with full-budget curve overlays
-    # (VALIDATION.md). Off by default.
+    # Mixed precision: bf16 MATMUL OPERANDS in the critic — the RSA
+    # Q/K/V/out projections and the counterfactual pass's big attn×values
+    # contraction take bf16 inputs with f32 MXU accumulation; fc, the
+    # rank-1/residual chain, LayerNorm stats, softmax, losses, log-probs,
+    # params and the optimizer stay f32. (Round 2's wider bf16-tile form
+    # — residual adds rounded to bf16 — measured a small full-budget
+    # reward deficit and was narrowed to this; VALIDATION.md overlays.)
+    # ~1.3× faster updates on v5e. Off by default.
     mixed_precision: bool = False
 
     # RNG

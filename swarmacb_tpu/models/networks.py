@@ -315,12 +315,15 @@ class POCACritic(nn.Module):
     hidden: int = 256
     num_heads: int = 4
     num_layers: int = 2
-    # Mixed precision for the counterfactual pass (POCAConfig.
-    # mixed_precision): the attention OUTPUT tile and the fc_out/residual
-    # chain — the only tensors that hit HBM at (B·N, N, h) size — are kept
-    # in bf16; scores, softmax, LayerNorm statistics, pooling, the encoder
-    # tail and all params stay f32. Validated against the f32 path by
-    # full-budget learning-curve overlays (VALIDATION.md).
+    # Mixed precision (POCAConfig.mixed_precision): bf16 MATMUL OPERANDS
+    # only — the RSA Q/K/V/out projections and the counterfactual pass's
+    # big attn×values contraction take bf16 inputs with f32 MXU
+    # accumulation; fc, the rank-1/residual chain, LayerNorm statistics,
+    # softmax, pooling, the encoder tail and all params stay f32. Round
+    # 2's wider form (whole bf16 residual tiles) measured a small
+    # full-budget reward deficit (VALIDATION.md overlays) and was
+    # narrowed to this. Validated against the f32 path by full-budget
+    # learning-curve overlays.
     compute_dtype: Optional[jnp.dtype] = None
     # Fused Pallas kernel for the fc/LN/pool tail of all_baselines
     # (ops/baseline_tail.py): no tile-sized HBM tensor in forward OR
@@ -501,28 +504,28 @@ class POCACritic(nn.Module):
             pooled = fused_tail(lhs, attn_mI, wa.reshape(B, H * N, h),
                                 dws, x_a, x_s - x_a, bias, N, None)
             return self._pooled_to_values(pooled.reshape(B * N, h), B, N)
-        wa = wa.astype(tile_dtype)
-
         # fc[b,I,n,o] = Σ_{h,m} attn·wa (+ rank-1 diagonal correction),
-        # MXU-shaped as (I·n, h·m)@(h·m, o)
+        # MXU-shaped as (I·n, h·m)@(h·m, o). Under mixed_precision only
+        # the MATMUL OPERANDS are bf16 (MXU accumulates f32); fc itself
+        # and the whole rank-1/residual/LN chain stay f32 — round 2's
+        # bf16-tile form (residual adds rounded to bf16) measured a small
+        # but real full-budget reward deficit (VALIDATION.md overlays),
+        # so the precision-sensitive chain keeps full precision and bf16
+        # buys MXU rate + halved operand traffic only.
         lhs = jnp.transpose(attn, (0, 1, 3, 2, 4)) \
             .reshape(B, N * N, H * N).astype(tile_dtype)
-        rhs = wa.reshape(B, H * N, h)
-        # fc is the ONE tile-sized tensor; under mixed_precision it lives
-        # in bf16 (accumulation stays f32 inside the MXU)
+        rhs = wa.astype(tile_dtype).reshape(B, H * N, h)
         fc = jnp.einsum("bxm,bmo->bxo", lhs, rhs,
                         preferred_element_type=f32) \
-            .reshape(B, N, N, h).astype(tile_dtype)
+            .reshape(B, N, N, h)
         attn_mI = jnp.take_along_axis(attn, I_idx[..., :1],
                                       axis=-1)[..., 0]         # (B,I,H,n)
         fc = fc + jnp.einsum("bIhn,bhIo->bIno", attn_mI, dws,
-                             preferred_element_type=f32).astype(tile_dtype)
-        fc = fc + (bias + x_a[:, None, :, :]).astype(tile_dtype)
+                             preferred_element_type=f32)
+        fc = fc + (bias + x_a[:, None, :, :])
         eye = (ii[:, None] == ii[None, :])[None, :, :, None]
-        fc = fc + jnp.where(eye,
-                            (x_s - x_a)[:, :, None, :].astype(tile_dtype), 0.0)
-        # LayerNorm statistics in f32 regardless of the tile dtype
-        y = rsa.residual_norm(fc.reshape(B * N, N, h).astype(f32))
+        fc = fc + jnp.where(eye, (x_s - x_a)[:, :, None, :], 0.0)
+        y = rsa.residual_norm(fc.reshape(B * N, N, h))
         return self._pooled_to_values(y.mean(axis=1), B, N)
 
     def __call__(self, all_states, all_actions):

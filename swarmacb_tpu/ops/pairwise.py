@@ -16,9 +16,11 @@ robots/pairs and each lane is a different arena. One grid step processes
 at full lane utilization regardless of N.
 
 Semantics are identical to swarmacb_tpu.env.sensors (same formula order,
-same epsilons) — verified by parity tests. The jnp path remains the
-default; the kernel is opt-in via ``DirectionalGateEnvCfg.use_pallas``
-(future) or direct calls, and falls back to interpret mode off-TPU.
+same epsilons) — verified by parity tests. Selected via
+``DirectionalGateEnvCfg.use_pallas`` — the TPU DEFAULT since round 2
+(``scripts/train.py --use_pallas auto`` turns it on whenever the backend
+is a TPU); the jnp path remains the off-TPU default and the kernels fall
+back to interpret mode when forced on elsewhere.
 """
 
 from __future__ import annotations

@@ -112,6 +112,50 @@ def test_critic_fused_attention_matches_plain():
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_cotangent_quality_vs_f64_referee():
+    """Pin the kernel's KNOWN numerics bound (VERDICT r2 weak #4): every
+    f32 cotangent must land within 2× of the XLA composition's error
+    against an f64 ground truth, except ``wa`` — whose flash-style
+    recompute backward measured 4% OUTSIDE that band on hardware
+    (BENCH_NOTES.md round-2 full-fusion section). This test asserts the
+    band for the 8 in-band cotangents and a 2.5× ceiling for ``wa``, so
+    a numerics regression in the kept-but-off-by-default lane fails the
+    default suite instead of surfacing only in hardware validation."""
+    args32, d = _inputs(jax.random.PRNGKey(7))
+    probe = jax.random.normal(jax.random.PRNGKey(8), (4, 6, 64))
+
+    with jax.enable_x64(True):
+        # the f64 casts must happen INSIDE the x64 scope — outside it
+        # astype(float64) silently stays f32 and the "truth" would just
+        # be the XLA path again
+        args64 = tuple(jnp.asarray(np.asarray(a), jnp.float64)
+                       for a in args32)
+        g_truth = jax.grad(
+            lambda *a: (cf_reference(*a, d)
+                        * jnp.asarray(np.asarray(probe), jnp.float64))
+            .sum(), argnums=tuple(range(9)))(*args64)
+        g_truth = jax.tree_util.tree_map(np.asarray, g_truth)
+    g_xla = jax.grad(lambda *a: (cf_reference(*a, d) * probe).sum(),
+                     argnums=tuple(range(9)))(*args32)
+    g_ker = jax.grad(lambda *a: (fused_cf_attention(*a, d, True)
+                                 * probe).sum(),
+                     argnums=tuple(range(9)))(*args32)
+
+    names = ["S_aa", "S_as", "S_sa", "S_ss", "wa", "dws", "x_a", "delta",
+             "bias"]
+    floor = 5e-7  # ≈4 ulps at O(1): below this both paths sit at f32
+    # resolution and the ratio is noise; a real numerics regression is
+    # orders of magnitude above it
+    for name, t, x, k in zip(names, g_truth, g_xla, g_ker):
+        t = np.asarray(t, dtype=np.float64)
+        err_xla = np.abs(np.asarray(x, np.float64) - t).max()
+        err_ker = np.abs(np.asarray(k, np.float64) - t).max()
+        band = 2.5 if name == "wa" else 2.0
+        assert err_ker <= max(band * err_xla, floor), (
+            f"{name}: kernel cotangent error {err_ker:.3e} exceeds "
+            f"{band}x the XLA composition's {err_xla:.3e}")
+
+
 @pytest.mark.skipif(os.environ.get("SWARMACB_SLOW_TESTS") != "1",
                     reason="slow: shard_map + interpret-mode Pallas "
                            "(set SWARMACB_SLOW_TESTS=1; ad-hoc-verified "
