@@ -22,11 +22,17 @@ from tensorboard.backend.event_processing.event_accumulator import (
 )
 
 
-def extract(run_dir: pathlib.Path, tag: str):
+def extract(run_dir: pathlib.Path, tag: str, wall_time: bool = False):
     acc = EventAccumulator(str(run_dir), size_guidance={"scalars": 0})
     acc.Reload()
     if tag not in acc.Tags().get("scalars", []):
         return None
+    if wall_time:
+        # minutes since the run's first event — makes steps-to-level
+        # directly quotable in wall-clock terms (VERDICT r2 #4)
+        t0 = acc.Scalars(tag)[0].wall_time
+        return [(e.step, round((e.wall_time - t0) / 60, 2), e.value)
+                for e in acc.Scalars(tag)]
     return [(e.step, e.value) for e in acc.Scalars(tag)]
 
 
@@ -35,6 +41,8 @@ def main(argv=None):
     p.add_argument("runs", nargs="+")
     p.add_argument("--tag", default="Extra/Group Reward Mean")
     p.add_argument("--out", default="docs/validation")
+    p.add_argument("--wall-time", action="store_true",
+                   help="add a minutes-since-start column")
     args = p.parse_args(argv)
 
     out_dir = pathlib.Path(args.out)
@@ -43,7 +51,7 @@ def main(argv=None):
     rc = 0
     for run in args.runs:
         run_dir = pathlib.Path(run)
-        rows = extract(run_dir, args.tag)
+        rows = extract(run_dir, args.tag, wall_time=args.wall_time)
         if not rows:  # None (tag absent) or registered-but-empty scalars
             print(f"[extract] {run}: no data for tag {args.tag!r}",
                   file=sys.stderr)
@@ -52,7 +60,8 @@ def main(argv=None):
         out = out_dir / f"{run_dir.name}__{slug}.csv"
         with open(out, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["step", "value"])
+            w.writerow(["step", "minutes", "value"] if args.wall_time
+                       else ["step", "value"])
             w.writerows(rows)
         print(f"[extract] {run} → {out} ({len(rows)} points, "
               f"final {rows[-1][1]:.2f})")

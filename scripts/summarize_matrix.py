@@ -42,6 +42,45 @@ def tail_mean(rows, frac=0.1):
 # ~10 units wide on every observed seed, so the exact cut is uncritical.
 ESCAPE_THRESHOLD = 10.0
 
+# Steps-to-level thresholds (VERDICT r2 #4 — the north star's primary
+# learning metric is "steps to a reference reward level"). For the stable
+# variants the level is the round number just under every seed's band
+# (lily band [33.5, 36.5] → 30; cyclamen [27.8, 32.1] → 25; dandelion
+# [2.83, 3.02] → 2.5); for the bimodal variants the meaningful event is
+# the ESCAPE itself, so the level is the inter-mode gap (=ESCAPE_THRESHOLD)
+# and the statistic is reported over escaped seeds only.
+LEVELS = {
+    "dandelion": 2.5,
+    "lily": 30.0,
+    "cyclamen": 25.0,
+    "tulip": ESCAPE_THRESHOLD,
+    "daisy": ESCAPE_THRESHOLD,
+}
+
+# Measured end-to-end training throughput (agent-decisions/s) per variant
+# at the validation operating point (E=16, one v5e chip, Pallas kernels +
+# fused tail on — VALIDATION.md "Throughput during these runs"). Used to
+# convert steps-to-level into wall-clock minutes; the committed CSVs
+# predate wall_time columns so this is the anchored conversion.
+MEASURED_SPS = {
+    "dandelion": 60_000.0,
+    "daisy": 55_000.0,
+    "lily": 66_000.0,
+    "tulip": 95_000.0,
+    "cyclamen": 95_000.0,
+}
+
+
+def steps_to_level(rows, level, window=5):
+    """First logged step where the rolling mean (over `window` summary
+    points) of Group Reward Mean reaches `level`; None if never."""
+    vals = [v for _, v in rows]
+    for i in range(len(rows)):
+        lo = max(0, i - window + 1)
+        if sum(vals[lo:i + 1]) / (i + 1 - lo) >= level:
+            return rows[i][0]
+    return None
+
 
 def _read_csv_curves(csv_dir: pathlib.Path):
     """Yield (run_name, rows) from the committed docs/validation CSVs.
@@ -83,15 +122,17 @@ def main(argv=None):
             curves.append((run.name, rows))
 
     per_variant: dict[str, list[tuple[str, float, float]]] = {}
+    curves_by_variant: dict[str, list[tuple[str, list]]] = {}
     for name, rows in curves:
-        m = re.match(r"(?:DirGate_|full_)(\w+?)(?:_(bf16|ft))?(?:_seed(\d+))?$",
-                     name)
+        m = re.match(r"(?:DirGate_|full_)(\w+?)(?:_(bf16|ft|mp|E\d+))?"
+                     r"(?:_seed(\d+))?$", name)
         if not m:
             continue
         variant = m.group(1) + (f"_{m.group(2)}" if m.group(2) else "")
         seed = m.group(3) or "0"
         final, tm = rows[-1][1], tail_mean(rows)
         per_variant.setdefault(variant, []).append((seed, final, tm))
+        curves_by_variant.setdefault(variant, []).append((name, rows))
         print(f"{name:32s} points={len(rows):4d} final={final:7.2f} "
               f"tail10%={tm:7.2f}")
 
@@ -106,12 +147,47 @@ def main(argv=None):
         escaped = [t for t in tms if t >= ESCAPE_THRESHOLD]
         if escaped and len(escaped) < len(tms):  # bimodal: report per mode
             stuck = [t for t in tms if t < ESCAPE_THRESHOLD]
-            line += (f"\n  {'':16s} bimodal: escape rate "
-                     f"{len(escaped)}/{len(tms)}, escaped mode mean "
+            n, k = len(tms), len(escaped)
+            p = k / n
+            # Wilson 95% CI on the escape rate (binomial, the right
+            # uncertainty for a 10-seed unit)
+            z = 1.96
+            denom = 1 + z * z / n
+            centre = (p + z * z / (2 * n)) / denom
+            hw = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+            line += (f"\n  {'':16s} bimodal: escape rate {k}/{n} "
+                     f"(95% CI [{max(0, centre - hw):.2f}, "
+                     f"{min(1, centre + hw):.2f}]), escaped mode mean "
                      f"{sum(escaped)/len(escaped):.2f} "
                      f"[{min(escaped):.2f}, {max(escaped):.2f}], plateau "
                      f"{sum(stuck)/len(stuck):.2f}")
         print(line)
+
+    print("\nsteps-to-level (first summary point whose 5-point rolling "
+          "mean reaches the variant's level; minutes at the measured "
+          "E=16 v5e SPS):")
+    for variant, entries in sorted(curves_by_variant.items()):
+        base = variant.split("_")[0]
+        level = LEVELS.get(base)
+        if level is None:
+            continue
+        hits = []
+        for name, rows in entries:
+            s = steps_to_level(rows, level)
+            if s is not None:
+                hits.append((name, s))
+        if not hits:
+            print(f"  {variant:16s} level {level:5.1f}: never reached")
+            continue
+        sps = MEASURED_SPS.get(base)
+        steps = sorted(s for _, s in hits)
+        median = steps[len(steps) // 2]
+        per_seed = ", ".join(f"{n.rsplit('seed', 1)[-1]}:{s/1e6:.1f}M"
+                             for n, s in hits)
+        mins = f" = {median / sps / 60:.1f} min" if sps else ""
+        print(f"  {variant:16s} level {level:5.1f}: reached by "
+              f"{len(hits)}/{len(entries)} seeds, median "
+              f"{median/1e6:.1f}M decisions{mins}  (per seed: {per_seed})")
     return 0
 
 

@@ -51,7 +51,13 @@ wait_healthy() {
 
 run_train() {
   local variant=$1 seed=$2; shift 2
-  local run="DirGate_${variant}_seed${seed}"
+  # optional `name=<tag>` first extra token: tags the run name
+  # (DirGate_<variant>_<tag>_seed<seed>) so ablation runs (bf16, E64, …)
+  # get their own log/checkpoint dirs and the skip/resume logic keys on
+  # the right directory
+  local tag=""
+  if [ "${1:-}" != "${1#name=}" ]; then tag="_${1#name=}"; shift; fi
+  local run="DirGate_${variant}${tag}_seed${seed}"
   local attempt resume=""
   if [ -d "$ROOT/checkpoints/$run/poca_final" ]; then
     note "$run already complete, skipping"; return 0

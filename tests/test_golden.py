@@ -37,6 +37,17 @@ CASES = {
     # path-identity rather than exercise new env code
     "tulip": dict(variant="tulip", num_envs=2, num_agents=8, steps=50),
     "cyclamen": dict(variant="cyclamen", num_envs=2, num_agents=8, steps=50),
+    # Long-horizon fixtures (VERDICT r2 #7): one full 1200-step episode at
+    # the reference's N=20 per env PATH (continuous / discrete). The
+    # measured TPU-vs-CPU divergence onset for discrete variants is step
+    # ~571 (PARITY.md) — a 50-step fixture cannot catch a long-horizon
+    # regression, and 1200 steps also crosses the truncation boundary, so
+    # the folded auto-reset (fresh spawns, colour/exploration re-init) is
+    # pinned too.
+    "dandelion_long": dict(variant="dandelion", num_envs=1, num_agents=20,
+                           steps=1200),
+    "daisy_long": dict(variant="daisy", num_envs=1, num_agents=20,
+                       steps=1200),
 }
 
 

@@ -30,9 +30,10 @@ sys.path.insert(0, os.environ["SWARMACB_ROOT"])
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+NUM_PROCS = int(os.environ["NUM_PROCS"])
 jax.distributed.initialize(
     coordinator_address=os.environ["COORD"],
-    num_processes=2,
+    num_processes=NUM_PROCS,
     process_id=int(os.environ["PROC_ID"]),
 )
 
@@ -43,7 +44,7 @@ from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
 from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
 from swarmacb_tpu.parallel import make_mesh
 
-assert jax.process_count() == 2, jax.process_count()
+assert jax.process_count() == NUM_PROCS, jax.process_count()
 assert len(jax.devices()) == 8, jax.devices()
 
 env = DirectionalGateEnv(DirectionalGateEnvCfg(
@@ -84,22 +85,29 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_training_lockstep(tmp_path):
+@pytest.mark.parametrize("num_procs", [2, 4])
+def test_multi_process_training_lockstep(tmp_path, num_procs):
+    """2 procs × 4 devices and 4 procs × 2 devices — the same 8-device
+    global mesh built from different host counts (VERDICT r2 #5: the
+    lockstep property must hold past pairwise all-reduce topologies)."""
     coord = f"localhost:{_free_port()}"
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
 
+    devices_per_proc = 8 // num_procs
     procs = []
-    for pid in range(2):
+    for pid in range(num_procs):
         env = dict(os.environ)
         env.update(
             COORD=coord,
             PROC_ID=str(pid),
+            NUM_PROCS=str(num_procs),
             SWARMACB_ROOT=str(ROOT),
             CKPT_DIR=str(tmp_path / "ckpt"),
             JAX_PLATFORMS="cpu",
             XLA_FLAGS=(env.get("XLA_FLAGS", "")
-                       + " --xla_force_host_platform_device_count=4").strip(),
+                       + " --xla_force_host_platform_device_count="
+                       + str(devices_per_proc)).strip(),
         )
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env,
@@ -118,6 +126,7 @@ def test_two_process_training_lockstep(tmp_path):
         parts = line.split()
         digests.append((float(parts[1]), float(parts[3])))
 
-    # replicated params + all-reduced grads ⇒ both processes bit-identical
-    np.testing.assert_allclose(digests[0][0], digests[1][0], rtol=0, atol=0)
-    np.testing.assert_allclose(digests[0][1], digests[1][1], rtol=0, atol=0)
+    # replicated params + all-reduced grads ⇒ all processes bit-identical
+    for d in digests[1:]:
+        np.testing.assert_allclose(digests[0][0], d[0], rtol=0, atol=0)
+        np.testing.assert_allclose(digests[0][1], d[1], rtol=0, atol=0)
