@@ -84,19 +84,23 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
     return best
 
 
-def bench_train_iteration(variant="dandelion", E=64, N=20,
-                          mixed_precision=False, fused_tail=None,
-                          fused_attention=None):
-    """Secondary: full fused rollout(T=100)+update iteration throughput."""
+def bench_train_iteration(variant="dandelion", E=64, N=20, horizon=1000,
+                          reps=3, mixed_precision=False, fused_tail=None,
+                          fused_attention=None, use_pallas=True):
+    """Secondary: full rollout+update iteration throughput at the REAL
+    reference config (horizon 1000, 3 epochs, ML-Agents minibatch
+    derivation) and the measured round-3 operating point E=64 — the SPS
+    that full-budget training realizes (BENCH_NOTES.md SPS-vs-E table)."""
     import jax
 
     from swarmacb_tpu.agents import POCAConfig, POCATrainer
     from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
     from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
 
-    env = DirectionalGateEnv(DirectionalGateEnvCfg(variant=variant, num_envs=E,
-                                                   num_agents=N))
-    cfg = POCAConfig(horizon=100, num_epochs=3, mini_batch_size=2048,
+    env = DirectionalGateEnv(DirectionalGateEnvCfg(
+        variant=variant, num_envs=E, num_agents=N,
+        use_pallas=use_pallas and jax.default_backend() == "tpu"))
+    cfg = POCAConfig(horizon=horizon, num_epochs=3, mini_batch_size=2048,
                      buffer_size_hint=20480, hidden_dim=512, num_layers=2,
                      total_timesteps=10**9, mixed_precision=mixed_precision,
                      fused_tail=fused_tail, fused_attention=fused_attention)
@@ -109,18 +113,12 @@ def bench_train_iteration(variant="dandelion", E=64, N=20,
     log(f"[bench] train-iter compile+first: {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
         env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
     dt = time.perf_counter() - t0
     decisions = reps * cfg.horizon * E * N
-    tag = "bf16 tiles" if mixed_precision else "f32"
-    if fused_attention:
-        tag += ", fused cf-attention"
-    elif fused_tail is None:
-        tag += ", fused-tail auto"
-    elif not fused_tail:
-        tag += ", no fused tail"
+    tag = "bf16 operands" if mixed_precision else "f32"
+    tag += f", T={horizon}, {'split' if trainer._use_split_update else 'fused'}"
     log(f"[bench] train SPS ({tag}, agent-decisions/s, rollout+update): "
         f"{decisions/dt:,.0f}")
     return decisions / dt
@@ -132,17 +130,17 @@ def main():
     log(f"[bench] devices: {jax.devices()}")
     value = bench_env_steps()
     try:
-        train_sps = bench_train_iteration()            # fused tail auto-on
+        train_sps = bench_train_iteration()  # realized reference config
     except Exception as e:  # secondary metric must not kill the benchmark
         log(f"[bench] train-iteration bench failed: {e!r}")
         train_sps = None
-    # comparison variants: a failure here must not erase the measured
-    # primary train SPS above
+    # comparison variant: a failure here must not erase the measured
+    # primary train SPS above. (The fused_tail=False / fused_attention
+    # lanes were measured and decided in round 2 — BENCH_NOTES.md — and
+    # are no longer re-benched every round.)
     try:
-        if jax.default_backend() == "tpu":  # bf16 tiles are TPU-only news
+        if jax.default_backend() == "tpu":
             bench_train_iteration(mixed_precision=True)
-            bench_train_iteration(fused_tail=False)    # pre-kernel baseline
-            bench_train_iteration(fused_attention=True)  # full-fusion kernel
     except Exception as e:
         log(f"[bench] train-iteration comparison bench failed: {e!r}")
 

@@ -13,6 +13,7 @@ import json
 from pathlib import Path
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -36,16 +37,20 @@ class Checkpointer:
         divergence never becomes the auto-resume point nor evicts the
         last good checkpoint.
 
-        Periodic saves are ASYNC: the params are snapshotted to host
-        memory (so the writer holds no device buffers — donation-safe)
-        and the orbax write overlaps the next training iterations; the
-        reference's checkpoint_interval of 120k agent-decisions means a
-        save per ~2 s iteration at E=16, and blocking on each one was
-        measured to cost ~2/3 of training wall time. The metadata
-        sidecar + rotation for a save are finalized at the NEXT save
-        call (orbax commits the directory by atomic rename, so metadata
-        can only be written after the write completes); final and
-        quarantine saves finalize immediately.
+        Periodic saves are PIPELINED: the reference's checkpoint_interval
+        of 120k agent-decisions means a save per ~2 s iteration at E=16,
+        and a blocking save was measured to cost most of the training
+        wall time — dominated not by the orbax write (~0.2 s) but by the
+        device→host params transfer over the tunnelled TPU runtime
+        (~2.5 s for 21 MB). save() therefore only DISPATCHES async
+        device→host copies of the train state (jax.Array
+        copy_to_host_async) and returns; the copies stream back while
+        the next iteration computes, and the actual write + metadata +
+        rotation happen at the NEXT save call, when the host values are
+        already resident. Requires the trainer NOT to donate train_state
+        (trainer.py jitted-programs note) — donation would invalidate
+        the held refs at the next dispatch. Final and quarantine saves
+        finalize immediately.
         """
         self._finalize_pending()
         if quarantine:
@@ -53,17 +58,17 @@ class Checkpointer:
         else:
             name = "poca_final" if final else f"poca_{trainer.global_step}"
         path = self.dir / name
-        payload = jax.tree_util.tree_map(
-            lambda x: jax.device_get(x),
-            {
-                "params": trainer.train_state.params,
-                "opt_state": trainer.train_state.opt_state,
-            })
-        self._ckptr.save(path, payload, force=True)
+        snapshot = {
+            "params": trainer.train_state.params,
+            "opt_state": trainer.train_state.opt_state,
+        }
+        for leaf in jax.tree_util.tree_leaves(snapshot):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         meta = dict(trainer.checkpoint_metadata())
         meta.update(global_step=trainer.global_step,
                     update_count=trainer.update_count)
-        self._pending = (path, meta)
+        self._pending = (path, meta, snapshot)
         if final or quarantine:
             self._finalize_pending(rotate=False)
         return path
@@ -74,17 +79,20 @@ class Checkpointer:
         self._finalize_pending()
 
     def _finalize_pending(self, rotate: bool = True):
-        """Wait for the in-flight async save, then write its metadata
-        sidecar and rotate. In multi-process runs orbax coordinates the
-        array save across hosts, but the metadata write and rotation are
-        plain filesystem ops — run them on process 0 only (after the
-        barrier) so concurrent writers can't race on a shared
-        filesystem."""
+        """Materialize the pending snapshot (host copies have streamed in
+        during the intervening compute), write it with orbax, then write
+        the metadata sidecar and rotate. In multi-process runs orbax
+        coordinates the array save across hosts, but the metadata write
+        and rotation are plain filesystem ops — run them on process 0
+        only (after the save barrier) so concurrent writers can't race
+        on a shared filesystem."""
         if self._pending is None:
             return
-        self._ckptr.wait_until_finished()
-        path, meta = self._pending
+        path, meta, snapshot = self._pending
         self._pending = None
+        payload = jax.tree_util.tree_map(np.asarray, snapshot)
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
         if jax.process_index() == 0:
             (path / "metadata.json").write_text(json.dumps(meta))
             print(f"[POCA] Saved → {path}")

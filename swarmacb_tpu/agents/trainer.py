@@ -183,10 +183,16 @@ class POCATrainer:
         self._rollout_reward_history: list[float] = []
         self._max_history = 100
 
-        # jitted programs
+        # jitted programs. train_state is deliberately NOT donated: the
+        # checkpointer snapshots it with async device→host copies that
+        # overlap the next iteration's compute (agents/checkpoint.py) —
+        # donation would invalidate those refs at the next dispatch. The
+        # forgone aliasing costs one ~param-sized HBM copy per program
+        # (µs at 21 MB), vs the seconds-per-iteration tunnel transfer the
+        # overlap hides.
         self._rollout_jit = jax.jit(self._rollout_fn, donate_argnums=(1,))
-        self._update_jit = jax.jit(self._update_fn, donate_argnums=(0,))
-        self._train_iter_jit = jax.jit(self._train_iter_fn, donate_argnums=(0, 1))
+        self._update_jit = jax.jit(self._update_fn)
+        self._train_iter_jit = jax.jit(self._train_iter_fn, donate_argnums=(1,))
 
         # split-update mode (see POCAConfig.split_update_groups): identical
         # math to the fused program, but one device call per minibatch so
@@ -203,8 +209,10 @@ class POCATrainer:
                 f"rollout_segments={c.rollout_segments}")
         self._prep_update_jit = jax.jit(self._prep_dispatch,
                                         donate_argnums=(0,))
-        self._mb_step_jit = jax.jit(self._mb_step_dispatch,
-                                    donate_argnums=(0,))
+        # train_state not donated (see the jitted-programs note above):
+        # the iteration's final train_state is held by the checkpointer's
+        # async snapshot across the next iteration's first minibatch step
+        self._mb_step_jit = jax.jit(self._mb_step_dispatch)
         self._rollout_seg_jit = jax.jit(
             partial(self._rollout_fn,
                     length=c.horizon // max(1, c.rollout_segments),
