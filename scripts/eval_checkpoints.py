@@ -24,7 +24,11 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 def run_eval(ckpt: pathlib.Path, episodes: int, deterministic: bool,
              seed: int) -> dict | None:
+    # evaluation runs on CPU so it never contends with a chip that is
+    # training (JAX_PLATFORMS is ignored on tunnel hosts; --platform
+    # works — .claude/skills/verify)
     cmd = [sys.executable, str(ROOT / "scripts" / "play.py"),
+           "--platform", "cpu",
            "--checkpoint", str(ckpt), "--num_episodes", str(episodes),
            "--seed", str(seed)]
     if deterministic:

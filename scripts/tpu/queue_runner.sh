@@ -55,8 +55,8 @@ run_train() {
   # (DirGate_<variant>_<tag>_seed<seed>) so ablation runs (bf16, E64, …)
   # get their own log/checkpoint dirs and the skip/resume logic keys on
   # the right directory
-  local tag=""
-  if [ "${1:-}" != "${1#name=}" ]; then tag="_${1#name=}"; shift; fi
+  local tag="" first="${1:-}"
+  case "$first" in name=*) tag="_${first#name=}"; shift;; esac
   local run="DirGate_${variant}${tag}_seed${seed}"
   local attempt resume=""
   if [ -d "$ROOT/checkpoints/$run/poca_final" ]; then
