@@ -84,44 +84,29 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
     return best
 
 
-def bench_train_iteration(variant="dandelion", E=64, N=20, horizon=1000,
-                          reps=3, mixed_precision=False, fused_tail=None,
-                          fused_attention=None, use_pallas=True):
+def bench_train_iteration(variant="dandelion", E=64, horizon=1000,
+                          mixed_precision=False):
     """Secondary: full rollout+update iteration throughput at the REAL
     reference config (horizon 1000, 3 epochs, ML-Agents minibatch
-    derivation) and the measured round-3 operating point E=64 — the SPS
-    that full-budget training realizes (BENCH_NOTES.md SPS-vs-E table)."""
-    import jax
+    derivation from the YAML) and the measured round-3 operating point
+    E=64 — the SPS that full-budget training realizes. Delegates to
+    scripts/sps_sweep.measure so there is exactly ONE implementation of
+    the end-to-end train-SPS measurement (BENCH_NOTES.md SPS-vs-E
+    table uses the same one)."""
+    import pathlib
+    import sys
 
-    from swarmacb_tpu.agents import POCAConfig, POCATrainer
-    from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
-    from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+    from sps_sweep import measure
 
-    env = DirectionalGateEnv(DirectionalGateEnvCfg(
-        variant=variant, num_envs=E, num_agents=N,
-        use_pallas=use_pallas and jax.default_backend() == "tpu"))
-    cfg = POCAConfig(horizon=horizon, num_epochs=3, mini_batch_size=2048,
-                     buffer_size_hint=20480, hidden_dim=512, num_layers=2,
-                     total_timesteps=10**9, mixed_precision=mixed_precision,
-                     fused_tail=fused_tail, fused_attention=fused_attention)
-    trainer = POCATrainer(env, cfg)
-    key = jax.random.PRNGKey(0)
-    env_state, obs = env.reset(key)
-
-    t0 = time.perf_counter()
-    env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
-    log(f"[bench] train-iter compile+first: {time.perf_counter()-t0:.1f}s")
-
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        env_state, obs, carry, m = trainer.train_iteration(env_state, obs, ())
-    dt = time.perf_counter() - t0
-    decisions = reps * cfg.horizon * E * N
-    tag = "bf16 operands" if mixed_precision else "f32"
-    tag += f", T={horizon}, {'split' if trainer._use_split_update else 'fused'}"
+    r = measure(variant, E, iters=2, horizon=horizon,
+                mixed_precision=mixed_precision, phase_split=False)
+    tag = ("bf16 operands" if mixed_precision else "f32") + \
+        f", T={r['horizon']}, {r['path']}"
     log(f"[bench] train SPS ({tag}, agent-decisions/s, rollout+update): "
-        f"{decisions/dt:,.0f}")
-    return decisions / dt
+        f"{r['decisions_per_sec']:,} (compile+first "
+        f"{r['compile_plus_first_s']}s)")
+    return float(r["decisions_per_sec"])
 
 
 def main():

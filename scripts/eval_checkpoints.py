@@ -33,7 +33,14 @@ def run_eval(ckpt: pathlib.Path, episodes: int, deterministic: bool,
            "--seed", str(seed)]
     if deterministic:
         cmd.append("--deterministic")
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600)
+    except subprocess.TimeoutExpired:
+        # one hung eval must not discard the rows already collected
+        print(f"[eval] {ckpt} timed out after 3600s, skipping",
+              file=sys.stderr)
+        return None
     if out.returncode != 0:
         print(f"[eval] {ckpt} FAILED:\n{out.stderr[-2000:]}",
               file=sys.stderr)

@@ -64,7 +64,7 @@ def main(argv=None):
                        else ["step", "value"])
             w.writerows(rows)
         print(f"[extract] {run} → {out} ({len(rows)} points, "
-              f"final {rows[-1][1]:.2f})")
+              f"final {rows[-1][-1]:.2f})")
     return rc
 
 

@@ -72,12 +72,15 @@ MEASURED_SPS = {
 
 
 def steps_to_level(rows, level, window=5):
-    """First logged step where the rolling mean (over `window` summary
-    points) of Group Reward Mean reaches `level`; None if never."""
+    """First logged step where the rolling mean over a FULL `window` of
+    summary points reaches `level`; None if never. Partial windows at
+    the curve start are skipped — a single early noisy summary point
+    must not count as the level being reached (curves are noisiest
+    there)."""
     vals = [v for _, v in rows]
-    for i in range(len(rows)):
-        lo = max(0, i - window + 1)
-        if sum(vals[lo:i + 1]) / (i + 1 - lo) >= level:
+    window = min(window, len(vals))
+    for i in range(window - 1, len(rows)):
+        if sum(vals[i - window + 1:i + 1]) / window >= level:
             return rows[i][0]
     return None
 
@@ -179,7 +182,9 @@ def main(argv=None):
         if not hits:
             print(f"  {variant:16s} level {level:5.1f}: never reached")
             continue
-        sps = MEASURED_SPS.get(base)
+        # minutes only for untagged runs: the ablation tags (mp, E64, …)
+        # train at different throughputs than the E=16 anchor
+        sps = MEASURED_SPS.get(base) if variant == base else None
         steps = sorted(s for _, s in hits)
         median = steps[len(steps) // 2]
         per_seed = ", ".join(f"{n.rsplit('seed', 1)[-1]}:{s/1e6:.1f}M"

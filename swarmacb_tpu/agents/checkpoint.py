@@ -25,10 +25,11 @@ class Checkpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.keep = keep
         self._ckptr = ocp.StandardCheckpointer()
-        # (path, metadata) of an async save whose sidecar metadata write
-        # and rotation are still pending — finalized lazily at the next
-        # save (or immediately for final/quarantine saves)
-        self._pending: tuple[Path, dict] | None = None
+        # (path, metadata, snapshot) of a save whose host copies are
+        # streaming in and whose write/metadata/rotation are still
+        # pending — finalized lazily at the next save (or immediately
+        # for final/quarantine saves)
+        self._pending: tuple[Path, dict, dict] | None = None
 
     # ── save ──────────────────────────────────────────────────────
     def save(self, trainer, final: bool = False, quarantine: bool = False):
@@ -108,13 +109,25 @@ class Checkpointer:
     def _rotate(self):
         if self.keep <= 0:
             return
+        import shutil
+
         numbered = sorted((p for p in self.dir.glob("poca_*")
                            if self._is_numbered(p)),
                           key=lambda p: p.stat().st_mtime)
-        while len(numbered) > self.keep:
-            old = numbered.pop(0)
-            import shutil
-
+        # metadata-less numbered dirs are crash debris (died between the
+        # orbax commit and the deferred sidecar write): latest() already
+        # skips them, so counting them toward `keep` would evict
+        # restorable history while the unrestorable dir squats a slot —
+        # delete them outright instead
+        restorable = []
+        for p in numbered:
+            if (p / "metadata.json").exists():
+                restorable.append(p)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+                print(f"[POCA] Removed unrestorable checkpoint → {p.name}")
+        while len(restorable) > self.keep:
+            old = restorable.pop(0)
             shutil.rmtree(old, ignore_errors=True)
             print(f"[POCA] Removed old checkpoint → {old.name}")
 

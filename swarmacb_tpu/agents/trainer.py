@@ -726,10 +726,13 @@ class POCATrainer:
         batches, mean_abs_adv, stats = self._prep_update_jit(rollout,
                                                              bootstrap)
 
-        opt_state = self.train_state.opt_state
-        # copy: train_state is donated per minibatch step, and the caller
-        # still reads the schedule scalars after the update
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr).copy()
+        # rebuild (never mutate) the live opt_state to inject the lr: the
+        # checkpointer's pipelined snapshot may still hold a reference to
+        # this exact pytree (agents/checkpoint.py), so host-side in-place
+        # mutation would corrupt the pending checkpoint's hyperparams
+        opt_state = self.train_state.opt_state._replace(
+            hyperparams={**self.train_state.opt_state.hyperparams,
+                         "learning_rate": jnp.asarray(lr)})
         train_state = TrainState(params=self.train_state.params,
                                  opt_state=opt_state)
 
@@ -1088,21 +1091,28 @@ class POCATrainer:
         while self.global_step < c.total_timesteps:
             if profile_dir is not None and iteration == 1:
                 jax.profiler.start_trace(profile_dir)
+            t_iter = time.time()
             env_state, obs, actor_carry, m = self.train_iteration(
                 env_state, obs, actor_carry)
+            iter_dt = time.time() - t_iter
             iteration += 1
             if profile_dir is not None and iteration == 4:
                 jax.profiler.stop_trace()
                 print(f"[POCA] profiler trace → {profile_dir}", flush=True)
                 profile_dir = None
             elapsed = time.time() - start
+            # cumulative SPS (the reference's tqdm/TB number — includes
+            # compile) plus the last-iteration instantaneous rate, which
+            # is what wall-time-to-budget extrapolations should use
             sps = self.global_step / elapsed if elapsed > 0 else 0.0
+            decisions = c.horizon * self.num_envs * self.num_agents
+            sps_inst = decisions / iter_dt if iter_dt > 0 else 0.0
 
             if progress:
                 print(f"[POCA] step={self.global_step:,} upd={self.update_count} "
                       f"pg={m['policy_loss']:.3f} vf={m['value_loss']:.3f} "
                       f"bl={m['baseline_loss']:.3f} ent={m['entropy']:.3f} "
-                      f"SPS={sps:,.0f}", flush=True)
+                      f"SPS={sps:,.0f} (inst {sps_inst:,.0f})", flush=True)
 
             # numerics guard (SURVEY §5 "race detection / sanitizers" row):
             # a NaN loss means diverged training — stop at the iteration it

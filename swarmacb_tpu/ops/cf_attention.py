@@ -334,7 +334,13 @@ fused_cf_attention.defvjp(_cf_fwd, _cf_bwd)
 #  assembled-scores math of the non-kernel POCACritic.all_baselines)
 # ──────────────────────────────────────────────────────────────────────
 
-def cf_reference(S_aa, S_as, S_sa, S_ss, wa, dws, x_a, delta, bias, d):
+def cf_reference(S_aa, S_as, S_sa, S_ss, wa, dws, x_a, delta, bias, d,
+                 preferred=jnp.float32):
+    """``preferred``: einsum accumulation dtype. The f32 default is the
+    production numerics being pinned; pass jnp.float64 (under an x64
+    scope) to use this composition as a true high-precision referee —
+    with the default, f64 operands would silently truncate back to f32
+    inside the contractions."""
     B, H, N, _ = S_aa.shape
     h = wa.shape[-1]
     ii = jnp.arange(N)
@@ -351,10 +357,10 @@ def cf_reference(S_aa, S_as, S_sa, S_ss, wa, dws, x_a, delta, bias, d):
     attn = jax.nn.softmax(scores / math.sqrt(d), axis=-1)  # (B,I,H,n,m)
 
     fc = jnp.einsum("bIhnm,bhmo->bIno", attn, wa,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=preferred)
     attn_mI = jnp.take_along_axis(attn, I_idx[..., :1], axis=-1)[..., 0]
     fc = fc + jnp.einsum("bIhn,bhIo->bIno", attn_mI, dws,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=preferred)
     fc = fc + bias + x_a[:, None, :, :]
     eye = (ii[:, None] == ii[None, :])[None, :, :, None]
     fc = fc + jnp.where(eye, delta[:, :, None, :], 0.0)

@@ -126,12 +126,14 @@ def test_cotangent_quality_vs_f64_referee():
 
     with jax.enable_x64(True):
         # the f64 casts must happen INSIDE the x64 scope — outside it
-        # astype(float64) silently stays f32 and the "truth" would just
-        # be the XLA path again
+        # astype(float64) silently stays f32 — and the referee must use
+        # preferred=float64: cf_reference's production default
+        # (preferred_element_type=f32) would truncate the contractions
+        # back to f32 and the "truth" would just be the XLA path again
         args64 = tuple(jnp.asarray(np.asarray(a), jnp.float64)
                        for a in args32)
         g_truth = jax.grad(
-            lambda *a: (cf_reference(*a, d)
+            lambda *a: (cf_reference(*a, d, preferred=jnp.float64)
                         * jnp.asarray(np.asarray(probe), jnp.float64))
             .sum(), argnums=tuple(range(9)))(*args64)
         g_truth = jax.tree_util.tree_map(np.asarray, g_truth)
