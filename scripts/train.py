@@ -93,6 +93,22 @@ def main():
     if args.distributed:
         jax.distributed.initialize()
 
+    # Persistent XLA compilation cache: the fused train program costs
+    # ~80 s to compile, paid by EVERY fresh process of a seed sweep
+    # (scripts/tpu/queue_runner.sh launches one process per run). With
+    # the cache, identical (variant, E) program shapes compile once per
+    # host. Backends that don't support serialized executables simply
+    # never populate it — enabling is free there.
+    try:
+        import os
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/swarmacb_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without these config names
+
     from swarmacb_tpu.agents import Checkpointer, POCAConfig, POCATrainer
     from swarmacb_tpu.config.loader import load_config, print_config
     from swarmacb_tpu.env import make_env

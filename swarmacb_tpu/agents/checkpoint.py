@@ -13,6 +13,7 @@ import json
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -30,6 +31,9 @@ class Checkpointer:
         # pending — finalized lazily at the next save (or immediately
         # for final/quarantine saves)
         self._pending: tuple[Path, dict, dict] | None = None
+        # cached jitted pack function + tree spec, keyed on the snapshot's
+        # (treedef, shapes, dtypes) — see _pack()
+        self._pack_cache: tuple | None = None
 
     # ── save ──────────────────────────────────────────────────────
     def save(self, trainer, final: bool = False, quarantine: bool = False):
@@ -63,13 +67,14 @@ class Checkpointer:
             "params": trainer.train_state.params,
             "opt_state": trainer.train_state.opt_state,
         }
-        for leaf in jax.tree_util.tree_leaves(snapshot):
+        packed = self._pack(snapshot)
+        for leaf in jax.tree_util.tree_leaves(packed[1]):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         meta = dict(trainer.checkpoint_metadata())
         meta.update(global_step=trainer.global_step,
                     update_count=trainer.update_count)
-        self._pending = (path, meta, snapshot)
+        self._pending = (path, meta, packed)
         if final or quarantine:
             self._finalize_pending(rotate=False)
         return path
@@ -78,6 +83,62 @@ class Checkpointer:
         """Block until the in-flight async save (if any) is committed and
         finalized (metadata written, rotation applied)."""
         self._finalize_pending()
+
+    # ── transit packing ───────────────────────────────────────────
+    # The pipelined save's cost on a tunnelled TPU runtime is NOT the
+    # 21 MB of bytes, it is the per-array round trips: the train state
+    # has hundreds of small leaves and each device→host copy is a
+    # separate tunnel op (~2.5 s total — measured to dominate training
+    # wall time at the reference's 120 k-step checkpoint_interval, where
+    # every ~2 s iteration crosses the interval). So for transit we
+    # concatenate the snapshot on DEVICE into one flat array per dtype
+    # (a single cheap jitted program) and stream back a handful of large
+    # transfers instead; _unpack() rebuilds the exact host tree before
+    # the orbax write, so the on-disk format is unchanged. Multi-process
+    # runs keep the plain per-leaf path: their leaves may be sharded
+    # across hosts, and orbax coordinates that save itself.
+
+    def _pack(self, snapshot):
+        if jax.process_count() > 1:
+            return ("tree", snapshot, None)
+        leaves, treedef = jax.tree_util.tree_flatten(snapshot)
+        if not all(hasattr(x, "dtype") and hasattr(x, "ravel") for x in leaves):
+            return ("tree", snapshot, None)
+        sig = (treedef, tuple((x.shape, np.dtype(x.dtype)) for x in leaves))
+        if self._pack_cache is None or self._pack_cache[0] != sig:
+            groups: dict = {}  # dtype -> list of leaf indices
+            for i, x in enumerate(leaves):
+                groups.setdefault(np.dtype(x.dtype), []).append(i)
+            order = sorted(groups, key=str)
+
+            def pack_fn(ls):
+                return [jnp.concatenate([ls[i].ravel() for i in groups[d]])
+                        for d in order]
+
+            spec = (treedef,
+                    [(x.shape, np.dtype(x.dtype)) for x in leaves],
+                    {d: groups[d] for d in order})
+            self._pack_cache = (sig, jax.jit(pack_fn), spec)
+        _, pack_fn, spec = self._pack_cache
+        return ("packed", pack_fn(leaves), spec)
+
+    @staticmethod
+    def _unpack(kind, payload, spec):
+        """Host-side inverse of _pack: split the per-dtype flats back
+        into leaves and rebuild the tree (all numpy, no device ops)."""
+        if kind == "tree":
+            return jax.tree_util.tree_map(np.asarray, payload)
+        treedef, shapes, groups = spec
+        out = [None] * len(shapes)
+        for flat, (dtype, idxs) in zip(payload, groups.items()):
+            flat = np.asarray(flat)
+            off = 0
+            for i in idxs:
+                shape, _ = shapes[i]
+                n = int(np.prod(shape)) if shape else 1
+                out[i] = flat[off:off + n].reshape(shape)
+                off += n
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     def _finalize_pending(self, rotate: bool = True):
         """Materialize the pending snapshot (host copies have streamed in
@@ -89,9 +150,9 @@ class Checkpointer:
         on a shared filesystem."""
         if self._pending is None:
             return
-        path, meta, snapshot = self._pending
+        path, meta, (kind, transit, spec) = self._pending
         self._pending = None
-        payload = jax.tree_util.tree_map(np.asarray, snapshot)
+        payload = self._unpack(kind, transit, spec)
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
         if jax.process_index() == 0:
