@@ -258,3 +258,39 @@ def test_split_update_matches_fused():
                                    rtol=1e-5, atol=1e-7)
     for k in ("policy_loss", "value_loss", "baseline_loss", "entropy"):
         np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-6)
+
+
+def test_checkpoint_packed_transit_roundtrip(tmp_path):
+    """The transit packing (one flat device array per dtype, see
+    Checkpointer._pack) must be lossless for adversarial snapshot trees:
+    mixed dtypes (f32/bf16/i32), 0-d scalars (Adam's count), single-leaf
+    groups, and nested structure. The on-disk payload must equal the
+    plain per-leaf path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from swarmacb_tpu.agents.checkpoint import Checkpointer
+
+    tree = {
+        "params": {
+            "w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+            "b": jnp.full((4,), -1.5, dtype=jnp.float32),
+            "h": jnp.ones((2, 2), dtype=jnp.bfloat16) * 0.25,
+        },
+        "opt_state": (
+            jnp.array(7, dtype=jnp.int32),          # 0-d count
+            {"mu": jnp.linspace(0, 1, 5, dtype=jnp.float32)},
+        ),
+    }
+    ck = Checkpointer(tmp_path, keep=2)
+    kind, transit, spec = ck._pack(tree)
+    assert kind == "packed"
+    # one flat per dtype, not per leaf
+    assert len(transit) == 3
+    rebuilt = Checkpointer._unpack(kind, transit, spec)
+    ref = jax.tree_util.tree_map(np.asarray, tree)
+    assert (jax.tree_util.tree_structure(rebuilt)
+            == jax.tree_util.tree_structure(ref))
+    for a, b in zip(jax.tree_util.tree_leaves(rebuilt),
+                    jax.tree_util.tree_leaves(ref)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
