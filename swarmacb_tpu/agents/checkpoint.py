@@ -26,11 +26,11 @@ class Checkpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.keep = keep
         self._ckptr = ocp.StandardCheckpointer()
-        # (path, metadata, snapshot) of a save whose host copies are
-        # streaming in and whose write/metadata/rotation are still
-        # pending — finalized lazily at the next save (or immediately
-        # for final/quarantine saves)
-        self._pending: tuple[Path, dict, dict] | None = None
+        # single writer thread + bounded handoff queue for periodic saves
+        # (lazily started — eval/restore-only uses never spawn it)
+        self._worker = None
+        self._work = None
+        self._worker_error: BaseException | None = None
         # cached jitted pack function + tree spec, keyed on the snapshot's
         # (treedef, shapes, dtypes) — see _pack()
         self._pack_cache: tuple | None = None
@@ -42,22 +42,22 @@ class Checkpointer:
         divergence never becomes the auto-resume point nor evicts the
         last good checkpoint.
 
-        Periodic saves are PIPELINED: the reference's checkpoint_interval
-        of 120k agent-decisions means a save per ~2 s iteration at E=16,
-        and a blocking save was measured to cost most of the training
-        wall time — dominated not by the orbax write (~0.2 s) but by the
-        device→host params transfer over the tunnelled TPU runtime
-        (~2.5 s for 21 MB). save() therefore only DISPATCHES async
-        device→host copies of the train state (jax.Array
-        copy_to_host_async) and returns; the copies stream back while
-        the next iteration computes, and the actual write + metadata +
-        rotation happen at the NEXT save call, when the host values are
-        already resident. Requires the trainer NOT to donate train_state
-        (trainer.py jitted-programs note) — donation would invalidate
-        the held refs at the next dispatch. Final and quarantine saves
-        finalize immediately.
+        Periodic saves are fully ASYNCHRONOUS: the reference's
+        checkpoint_interval of 120k agent-decisions means a save per ~2 s
+        iteration at E=16, and a blocking save was measured to cost most
+        of the training wall time on a tunnelled TPU runtime. save()
+        packs the train state on device (see _pack), DISPATCHES async
+        device→host copies, and hands the write to a single worker
+        thread; the training loop never waits on the transfer, the orbax
+        write, the metadata sidecar, or rotation. The worker queue is
+        bounded (2 entries) so writes that somehow fall behind exert
+        backpressure instead of hoarding snapshots. Requires the trainer
+        NOT to donate train_state (trainer.py jitted-programs note) —
+        donation would invalidate the packed refs mid-flight. Final and
+        quarantine saves drain the queue and finalize synchronously, so
+        their directories exist when save() returns.
         """
-        self._finalize_pending()
+        self._raise_worker_error()
         if quarantine:
             name = f"poca_diverged_{trainer.global_step}"
         else:
@@ -74,15 +74,45 @@ class Checkpointer:
         meta = dict(trainer.checkpoint_metadata())
         meta.update(global_step=trainer.global_step,
                     update_count=trainer.update_count)
-        self._pending = (path, meta, packed)
         if final or quarantine:
-            self._finalize_pending(rotate=False)
+            self.flush()  # keep on-disk ordering: prior periodic saves first
+            self._finalize_item(path, meta, packed, rotate=False)
+        else:
+            self._ensure_worker()
+            self._work.put((path, meta, packed))
         return path
 
     def flush(self):
-        """Block until the in-flight async save (if any) is committed and
-        finalized (metadata written, rotation applied)."""
-        self._finalize_pending()
+        """Block until every queued async save is committed and finalized
+        (metadata written, rotation applied); re-raise a worker failure."""
+        if self._work is not None:
+            self._work.join()
+        self._raise_worker_error()
+
+    def _ensure_worker(self):
+        if self._worker is None:
+            import queue
+            import threading
+
+            self._work = queue.Queue(maxsize=2)
+            self._worker = threading.Thread(
+                target=self._drain, name="checkpoint-writer", daemon=True)
+            self._worker.start()
+
+    def _drain(self):
+        while True:
+            path, meta, packed = self._work.get()
+            try:
+                self._finalize_item(path, meta, packed)
+            except BaseException as e:  # surfaced on the next save/flush
+                self._worker_error = e
+            finally:
+                self._work.task_done()
+
+    def _raise_worker_error(self):
+        if self._worker_error is not None:
+            e, self._worker_error = self._worker_error, None
+            raise RuntimeError("async checkpoint write failed") from e
 
     # ── transit packing ───────────────────────────────────────────
     # The pipelined save's cost on a tunnelled TPU runtime is NOT the
@@ -140,18 +170,16 @@ class Checkpointer:
                 off += n
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    def _finalize_pending(self, rotate: bool = True):
-        """Materialize the pending snapshot (host copies have streamed in
-        during the intervening compute), write it with orbax, then write
-        the metadata sidecar and rotate. In multi-process runs orbax
-        coordinates the array save across hosts, but the metadata write
-        and rotation are plain filesystem ops — run them on process 0
-        only (after the save barrier) so concurrent writers can't race
-        on a shared filesystem."""
-        if self._pending is None:
-            return
-        path, meta, (kind, transit, spec) = self._pending
-        self._pending = None
+    def _finalize_item(self, path, meta, packed, rotate: bool = True):
+        """Materialize a snapshot (wait for its host copies), write it
+        with orbax, then write the metadata sidecar and rotate. Runs on
+        the writer thread for periodic saves, inline for final/quarantine
+        ones. In multi-process runs orbax coordinates the array save
+        across hosts, but the metadata write and rotation are plain
+        filesystem ops — run them on process 0 only (after the save
+        barrier) so concurrent writers can't race on a shared
+        filesystem."""
+        kind, transit, spec = packed
         payload = self._unpack(kind, transit, spec)
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
@@ -200,7 +228,7 @@ class Checkpointer:
     def restore(self, path: str | Path, trainer):
         """Restore params/opt_state/counters into a built trainer
         (poca_trainer.py:1002-1009)."""
-        self._finalize_pending()
+        self.flush()
         path = Path(path).absolute()
         target = {
             "params": trainer.train_state.params,
@@ -249,7 +277,7 @@ class Checkpointer:
         only when no numbered checkpoint exists (rotation never deletes
         all of them, so that means a rotated-away history). Quarantined
         ``poca_diverged_*`` saves never auto-resume."""
-        self._finalize_pending()
+        self.flush()
         # require the metadata sidecar: a crash between an async orbax
         # commit and its deferred metadata write leaves a dir that cannot
         # be restored from — fall back to the previous complete save

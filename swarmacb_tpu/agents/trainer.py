@@ -1016,6 +1016,17 @@ class POCATrainer:
         decisions = self.cfg.horizon * self.num_envs * self.num_agents
         self.global_step += decisions
 
+        # Batch the device→host fetches: on the tunnelled TPU runtime each
+        # blocking scalar read is a ~28 ms round trip, and this method
+        # reads ~10 leaves per iteration (metrics scalars + episode-stat
+        # arrays). Dispatching all copies async first overlaps the round
+        # trips, so the block below pays ~one latency instead of ten.
+        for leaf in (*metrics.values(), lr, eps, beta,
+                     *jax.tree_util.tree_leaves(stats)):
+            if (hasattr(leaf, "copy_to_host_async")
+                    and getattr(leaf, "is_fully_addressable", True)):
+                leaf.copy_to_host_async()
+
         host = {k: float(v) for k, v in metrics.items()}
         host["lr"], host["eps"], host["beta"] = float(lr), float(eps), float(beta)
         self._accumulate_episode_stats(stats)
