@@ -103,7 +103,12 @@ def _read_csv_curves(csv_dir: pathlib.Path):
             continue
         with f.open() as fh:
             data = list(_csv.reader(fh))[1:]  # skip header
-        yield name, [(int(r[0]), float(r[-1])) for r in data]
+        # 3-column CSVs (extract_curves --wall-time) carry measured
+        # minutes-since-start; legacy 2-column ones don't
+        rows = [(int(r[0]), float(r[-1])) for r in data]
+        wall = ({int(r[0]): float(r[1]) for r in data}
+                if data and len(data[0]) == 3 else None)
+        yield name, rows, wall
 
 
 def main(argv=None):
@@ -118,15 +123,18 @@ def main(argv=None):
         runs = [pathlib.Path(r) for r in args] or sorted(
             list(root.glob("DirGate_*_seed*")) + list(root.glob("full_*")))
         for run in runs:
-            rows = extract(run, TAG)
-            if not rows:
+            rows3 = extract(run, TAG, wall_time=True)
+            if not rows3:
                 print(f"[matrix] {run.name}: no curve", file=sys.stderr)
                 continue
-            curves.append((run.name, rows))
+            curves.append((run.name, [(s, v) for s, _, v in rows3],
+                           {s: m for s, m, _ in rows3}))
 
     per_variant: dict[str, list[tuple[str, float, float]]] = {}
     curves_by_variant: dict[str, list[tuple[str, list]]] = {}
-    for name, rows in curves:
+    wall_by_name: dict[str, dict | None] = {}
+    for name, rows, wall in curves:
+        wall_by_name[name] = wall
         m = re.match(r"(?:DirGate_|full_)(\w+?)(?:_(bf16|ft|mp|E\d+))?"
                      r"(?:_seed(\d+))?$", name)
         if not m:
@@ -167,8 +175,9 @@ def main(argv=None):
         print(line)
 
     print("\nsteps-to-level (first summary point whose 5-point rolling "
-          "mean reaches the variant's level; minutes at the measured "
-          "E=16 v5e SPS):")
+          "mean reaches the variant's level; minutes measured from the "
+          "run's own event wall times where available, else at the "
+          "anchored per-variant SPS):")
     for variant, entries in sorted(curves_by_variant.items()):
         base = variant.split("_")[0]
         level = LEVELS.get(base)
@@ -182,14 +191,22 @@ def main(argv=None):
         if not hits:
             print(f"  {variant:16s} level {level:5.1f}: never reached")
             continue
-        # minutes only for untagged runs: the ablation tags (mp, E64, …)
-        # train at different throughputs than the E=16 anchor
-        sps = MEASURED_SPS.get(base) if variant == base else None
         steps = sorted(s for _, s in hits)
         median = steps[len(steps) // 2]
         per_seed = ", ".join(f"{n.rsplit('seed', 1)[-1]}:{s/1e6:.1f}M"
                              for n, s in hits)
-        mins = f" = {median / sps / 60:.1f} min" if sps else ""
+        # measured minutes: the run's own TB wall time at the crossing
+        # point (excludes only the pre-first-summary compile, ~1.5 min)
+        measured = [wall_by_name[n][s] for n, s in hits
+                    if wall_by_name.get(n) and s in wall_by_name[n]]
+        if len(measured) == len(hits):
+            measured.sort()
+            mins = f" = {measured[len(measured) // 2]:.1f} min (measured)"
+        else:
+            # fall back for legacy 2-column CSVs; only for untagged runs —
+            # ablation tags (mp, E64, …) train at different throughputs
+            sps = MEASURED_SPS.get(base) if variant == base else None
+            mins = f" = {median / sps / 60:.1f} min" if sps else ""
         print(f"  {variant:16s} level {level:5.1f}: reached by "
               f"{len(hits)}/{len(entries)} seeds, median "
               f"{median/1e6:.1f}M decisions{mins}  (per seed: {per_seed})")
