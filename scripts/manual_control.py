@@ -37,6 +37,11 @@ def main():
     p.add_argument("--smoke-frames", type=int, default=0,
                    help="run N frames without keyboard then exit (smoke test)")
     p.add_argument("--hz", type=float, default=10.0, help="control frequency")
+    p.add_argument("--sim-hz", type=float, default=0.0,
+                   help="physics sub-step frequency (reference "
+                        "manual_control_isaac.py:49-52 runs sim at 60 Hz "
+                        "while behaviours re-evaluate at the 10 Hz control "
+                        "rate; 0 = no sub-stepping, one dt per control tick)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -58,6 +63,13 @@ def main():
     env = DirectionalGateEnv(cfg)
     N = cfg.num_agents
     ms = cfg.max_wheel_speed
+    # sim/control split (C21, manual_control_isaac.py:49-52,576,693):
+    # sensors + behaviour dispatch run once per CONTROL tick, physics
+    # integrates `substeps` finer steps of dt/substeps with the wheels
+    # held — same net displacement, finer contact resolution, and
+    # colour transitions (reward) counted per sim frame as Isaac does
+    substeps = max(1, round(args.sim_hz / args.hz)) if args.sim_hz else 1
+    dt_sub = cfg.dt / substeps
 
     # ── one mixed-control step: robot 0 keyboard, others module-driven ──
     def mixed_step(state, wheels0, module_id, key):
@@ -72,20 +84,22 @@ def main():
         )
         left = left.at[0, 0].set(wheels0[0])
         right = right.at[0, 0].set(wheels0[1])
-        pos, yaw = physics.integrate_and_wrap(state.pos, state.yaw, left, right,
-                                              cfg.wheelbase, cfg.dt)
-        pos = physics.resolve_wall_collisions(pos, env.face_normals,
-                                              env.face_points, cfg.robot_radius)
-        pos = physics.resolve_gate_wall_collisions(
-            pos, cfg.robot_radius, cfg.corridor_width / 2.0,
-            cfg.gate_south_y, cfg.side_wall_length)
-        pos = physics.resolve_robot_collisions(pos, cfg.robot_radius)
-
-        curr = sensors.ground_color(pos, cfg)
-        prev = state.prev_ground
-        kp = ((prev < 0.25) & (curr > 0.75)).astype(jnp.float32).sum()
-        km = ((prev > 0.75) & (curr < 0.25)).astype(jnp.float32).sum()
-        state = state.replace(pos=pos, yaw=yaw, prev_ground=curr,
+        pos, yaw, prev = state.pos, state.yaw, state.prev_ground
+        kp = km = jnp.float32(0.0)
+        for _ in range(substeps):  # static, unrolled under jit
+            pos, yaw = physics.integrate_and_wrap(pos, yaw, left, right,
+                                                  cfg.wheelbase, dt_sub)
+            pos = physics.resolve_wall_collisions(
+                pos, env.face_normals, env.face_points, cfg.robot_radius)
+            pos = physics.resolve_gate_wall_collisions(
+                pos, cfg.robot_radius, cfg.corridor_width / 2.0,
+                cfg.gate_south_y, cfg.side_wall_length)
+            pos = physics.resolve_robot_collisions(pos, cfg.robot_radius)
+            curr = sensors.ground_color(pos, cfg)
+            kp += ((prev < 0.25) & (curr > 0.75)).astype(jnp.float32).sum()
+            km += ((prev > 0.75) & (curr < 0.25)).astype(jnp.float32).sum()
+            prev = curr
+        state = state.replace(pos=pos, yaw=yaw, prev_ground=prev,
                               behavior=bstate)
         return state, cache, kp, km
 
