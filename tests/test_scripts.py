@@ -93,3 +93,18 @@ def test_manual_control_smoke(tmp_run):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "smoke OK" in r.stdout
+
+
+def test_manual_control_substep_smoke(tmp_run):
+    """--sim-hz physics sub-stepping (C21 sim/control split,
+    manual_control_isaac.py:49-52): 60 Hz sim under 10 Hz control."""
+    env = dict(os.environ)
+    env["SDL_VIDEODRIVER"] = "dummy"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "manual_control.py"),
+         "--smoke-frames", "10", "--num_agents", "6", "--sim-hz", "60"],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "smoke OK" in r.stdout
