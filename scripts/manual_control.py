@@ -84,9 +84,11 @@ def main():
         )
         left = left.at[0, 0].set(wheels0[0])
         right = right.at[0, 0].set(wheels0[1])
-        pos, yaw, prev = state.pos, state.yaw, state.prev_ground
-        kp = km = jnp.float32(0.0)
-        for _ in range(substeps):  # static, unrolled under jit
+        # lax.scan over substeps (not a Python loop): trace/compile time
+        # stays constant in --sim-hz instead of inlining 3 collision
+        # solves + ground sensing per substep into the program
+        def _substep(carry, _):
+            pos, yaw, prev, kp, km = carry
             pos, yaw = physics.integrate_and_wrap(pos, yaw, left, right,
                                                   cfg.wheelbase, dt_sub)
             pos = physics.resolve_wall_collisions(
@@ -98,7 +100,12 @@ def main():
             curr = sensors.ground_color(pos, cfg)
             kp += ((prev < 0.25) & (curr > 0.75)).astype(jnp.float32).sum()
             km += ((prev > 0.75) & (curr < 0.25)).astype(jnp.float32).sum()
-            prev = curr
+            return (pos, yaw, curr, kp, km), None
+
+        carry0 = (state.pos, state.yaw, state.prev_ground,
+                  jnp.float32(0.0), jnp.float32(0.0))
+        (pos, yaw, prev, kp, km), _ = jax.lax.scan(
+            _substep, carry0, None, length=substeps)
         state = state.replace(pos=pos, yaw=yaw, prev_ground=prev,
                               behavior=bstate)
         return state, cache, kp, km

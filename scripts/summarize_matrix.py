@@ -191,17 +191,19 @@ def main(argv=None):
         if not hits:
             print(f"  {variant:16s} level {level:5.1f}: never reached")
             continue
-        steps = sorted(s for _, s in hits)
-        median = steps[len(steps) // 2]
+        hits.sort(key=lambda t: t[1])
+        med_name, median = hits[len(hits) // 2]
         per_seed = ", ".join(f"{n.rsplit('seed', 1)[-1]}:{s/1e6:.1f}M"
                              for n, s in hits)
-        # measured minutes: the run's own TB wall time at the crossing
-        # point (excludes only the pre-first-summary compile, ~1.5 min)
-        measured = [wall_by_name[n][s] for n, s in hits
-                    if wall_by_name.get(n) and s in wall_by_name[n]]
-        if len(measured) == len(hits):
-            measured.sort()
-            mins = f" = {measured[len(measured) // 2]:.1f} min (measured)"
+        # measured minutes: the MEDIAN-STEPS run's own TB wall time at
+        # its crossing point (excludes only the pre-first-summary
+        # compile, ~1.5 min) — same run for both halves of the
+        # "median X M decisions = Y min" statistic, not two independent
+        # medians that could come from different seeds
+        med_wall = (wall_by_name.get(med_name) or {}).get(median)
+        if med_wall is not None:
+            mins = (f" = {med_wall:.1f} min (measured, "
+                    f"seed {med_name.rsplit('seed', 1)[-1]})")
         else:
             # fall back for legacy 2-column CSVs; only for untagged runs —
             # ablation tags (mp, E64, …) train at different throughputs

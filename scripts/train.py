@@ -101,10 +101,14 @@ def main():
     # never populate it — enabling is free there.
     try:
         import os
+        # user-scoped default (not a fixed /tmp path: world-shared tmp
+        # dirs risk permission collisions / cache poisoning between
+        # users, and tmp cleaners can evict entries mid-run)
+        default_cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "swarmacb", "jax_cache")
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/swarmacb_jax_cache"))
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", default_cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass  # older jax without these config names

@@ -57,7 +57,8 @@ class Checkpointer:
         quarantine saves drain the queue and finalize synchronously, so
         their directories exist when save() returns.
         """
-        self._raise_worker_error()
+        if not (final or quarantine):
+            self._raise_worker_error()
         if quarantine:
             name = f"poca_diverged_{trainer.global_step}"
         else:
@@ -75,8 +76,22 @@ class Checkpointer:
         meta.update(global_step=trainer.global_step,
                     update_count=trainer.update_count)
         if final or quarantine:
-            self.flush()  # keep on-disk ordering: prior periodic saves first
+            # Drain queued periodic saves first (on-disk ordering) but
+            # DEFER any stale worker failure: this write must land even
+            # if an earlier periodic save failed — a quarantine save is
+            # the post-mortem of a divergence and must not be aborted by
+            # an unrelated earlier I/O error (which would also mask the
+            # FloatingPointError the trainer is about to raise).
+            if self._work is not None:
+                self._work.join()
             self._finalize_item(path, meta, packed, rotate=False)
+            if quarantine:
+                if self._worker_error is not None:
+                    e, self._worker_error = self._worker_error, None
+                    print("[POCA] NOTE: an earlier periodic checkpoint "
+                          f"write had failed: {e!r}")
+            else:
+                self._raise_worker_error()
         else:
             self._ensure_worker()
             self._work.put((path, meta, packed))
@@ -105,7 +120,12 @@ class Checkpointer:
             try:
                 self._finalize_item(path, meta, packed)
             except BaseException as e:  # surfaced on the next save/flush
-                self._worker_error = e
+                # log every failure as it happens (several can occur
+                # between two save() checks) but keep the FIRST for
+                # re-raising — it is usually the root cause
+                print(f"[POCA] Async checkpoint write FAILED → {path}: {e!r}")
+                if self._worker_error is None:
+                    self._worker_error = e
             finally:
                 self._work.task_done()
 

@@ -169,6 +169,46 @@ def test_quarantined_checkpoint_never_resumes(tmp_path):
     assert ck.latest().name == "poca_500"
 
 
+def test_stale_async_failure_never_aborts_final_or_quarantine(tmp_path):
+    """A failed earlier PERIODIC save must not abort a final/quarantine
+    save (ADVICE r3): the final/quarantine checkpoint is written FIRST,
+    then the stale worker error is re-raised (final) or logged
+    (quarantine — so it cannot mask the trainer's FloatingPointError)."""
+    import threading
+
+    import pytest
+
+    trainer = POCATrainer(tiny_env("tulip"), tiny_cfg())
+    ck = Checkpointer(tmp_path, keep=2)
+    orig = ck._finalize_item
+
+    def flaky(path, meta, packed, rotate=True):
+        if threading.current_thread().name == "checkpoint-writer":
+            raise OSError("disk full")
+        return orig(path, meta, packed, rotate=rotate)
+
+    ck._finalize_item = flaky
+    trainer.global_step = 100
+    ck.save(trainer)  # periodic → fails on the worker thread
+    if ck._work is not None:
+        ck._work.join()  # ensure the failure has landed
+    # quarantine save still lands, stale error only logged (consumed)
+    trainer.global_step = 200
+    bad = ck.save(trainer, quarantine=True)
+    assert (bad / "metadata.json").exists()
+    assert ck._worker_error is None
+
+    # final save: written first, THEN the stale error re-raised
+    trainer.global_step = 300
+    ck.save(trainer)  # periodic → fails again
+    if ck._work is not None:
+        ck._work.join()
+    trainer.global_step = 400
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.save(trainer, final=True)
+    assert (tmp_path / "poca_final" / "metadata.json").exists()
+
+
 def test_chunked_accumulation_non_divisible():
     """A minibatch size with no divisor under the cap (prime) is handled by
     a weighted tail chunk — exact math, no silent full-batch fallback
