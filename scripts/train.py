@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 matmul operands in the critic (params/"
                         "residuals/losses stay f32); see "
                         "POCAConfig.mixed_precision")
+    p.add_argument("--mp_stages", type=str, default=None,
+                   help="Subset of 'qkvo': which RSA projection stages "
+                        "take bf16 under --mixed_precision (diagnostic; "
+                        "see POCAConfig.mp_stages)")
     p.add_argument("--use_pallas", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="Fused Pallas sensor/collision kernels for the env "
@@ -155,6 +159,9 @@ def main():
         cfg.seed = args.seed
     if args.mixed_precision:
         cfg.mixed_precision = True
+    if args.mp_stages is not None:
+        assert set(args.mp_stages) <= set("qkvo"), args.mp_stages
+        cfg.mp_stages = args.mp_stages
     if args.fused_tail != "config":
         cfg.fused_tail = args.fused_tail == "on"
     if args.fused_attention != "config":

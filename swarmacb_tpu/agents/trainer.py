@@ -128,6 +128,7 @@ class POCATrainer:
             num_agents=self.num_agents, hidden=c.hidden_dim,
             num_heads=c.critic_num_heads, num_layers=c.num_layers,
             compute_dtype=jnp.bfloat16 if c.mixed_precision else None,
+            mp_stages=c.mp_stages,
             fused_tail=fused_tail,
             fused_attention=fused_attention,
         )

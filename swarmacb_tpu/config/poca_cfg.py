@@ -126,6 +126,13 @@ class POCAConfig:
     # reward deficit and was narrowed to this; VALIDATION.md overlays.)
     # ~1.3× faster updates on v5e. Off by default.
     mixed_precision: bool = False
+    # Which RSA projections take bf16 operands under mixed_precision —
+    # a subset of "qkvo" (q/k = the attention-scores path, v/o = the
+    # values/output path; "v" also gates the attn×values contraction on
+    # the non-fused tail). Diagnostic knob for attributing the small
+    # full-budget reward deficit mixed precision shows on ONE variant
+    # (lily, VALIDATION.md overlays) to a specific precision path.
+    mp_stages: str = "qkvo"
 
     # RNG
     seed: int = 0

@@ -235,21 +235,25 @@ class ResidualSelfAttention(nn.Module):
     # computation dtype for the Q/K/V/out projections (params stay f32);
     # None = f32 throughout. See POCACritic.compute_dtype.
     compute_dtype: Optional[jnp.dtype] = None
+    # which projections use compute_dtype — subset of "qkvo"
+    # (POCAConfig.mp_stages); inert when compute_dtype is None
+    mp_stages: str = "qkvo"
 
     NEG_INF: float = -1e6
     EPSILON: float = 1e-7
 
     def setup(self):
         gain = (0.125 / self.embed) ** 0.5
-        dt = self.compute_dtype
+        dt = {s: (self.compute_dtype if s in self.mp_stages else None)
+              for s in "qkvo"}
         self.fc_q = _dense(self.embed, inits.normal_gain(gain), name="fc_q",
-                           dtype=dt)
+                           dtype=dt["q"])
         self.fc_k = _dense(self.embed, inits.normal_gain(gain), name="fc_k",
-                           dtype=dt)
+                           dtype=dt["k"])
         self.fc_v = _dense(self.embed, inits.normal_gain(gain), name="fc_v",
-                           dtype=dt)
+                           dtype=dt["v"])
         self.fc_out = _dense(self.embed, inits.normal_gain(gain),
-                             name="fc_out", dtype=dt)
+                             name="fc_out", dtype=dt["o"])
         # non-affine LayerNorms: no params, so exposing the stages as
         # separate methods keeps the param tree identical to round 1
         self.embedding_norm = nn.LayerNorm(use_bias=False, use_scale=False,
@@ -325,6 +329,10 @@ class POCACritic(nn.Module):
     # narrowed to this. Validated against the f32 path by full-budget
     # learning-curve overlays.
     compute_dtype: Optional[jnp.dtype] = None
+    # which projection/contraction stages take compute_dtype — subset of
+    # "qkvo" (see POCAConfig.mp_stages); "v" also gates the attn×values
+    # contraction of the non-fused tail below
+    mp_stages: str = "qkvo"
     # Fused Pallas kernel for the fc/LN/pool tail of all_baselines
     # (ops/baseline_tail.py): no tile-sized HBM tensor in forward OR
     # backward (custom_vjp). Exact f32 math (kernel parity tests);
@@ -342,6 +350,7 @@ class POCACritic(nn.Module):
         self.obs_act_entity_enc = EntityEmbedding(self.hidden, name="obs_act_entity_enc")
         self.self_attn = ResidualSelfAttention(self.hidden, self.num_heads,
                                                compute_dtype=self.compute_dtype,
+                                               mp_stages=self.mp_stages,
                                                name="self_attn")
         t_fixup_gain = (0.125 / self.hidden) ** 0.5
         self.linear_encoder = LinearEncoder(
@@ -458,7 +467,9 @@ class POCACritic(nn.Module):
         S_ss = (qs.astype(f32) * ks.astype(f32)).sum(-1)               # (B,H,N)
 
         # fold W_out into the per-head values: w[b,h,m,o] = v_h[m]·W_out[h]
-        tile_dtype = self.compute_dtype or f32
+        tile_dtype = (self.compute_dtype
+                      if self.compute_dtype is not None
+                      and "v" in self.mp_stages else f32)
         kernel = rsa.fc_out.variables["params"]["kernel"]      # (h, h)
         bias = rsa.fc_out.variables["params"]["bias"]
         Wh = kernel.reshape(H, d, h)

@@ -124,6 +124,48 @@ def test_all_baselines_equals_baseline_loop():
                                    atol=2e-5)
 
 
+def test_mp_stages_gate_bf16_per_projection():
+    """mp_stages subsets which RSA projections take bf16 operands
+    (POCAConfig.mp_stages, the lily-deficit diagnostic knob): an empty
+    subset must be BIT-equal to the f32 critic even with a bf16
+    compute_dtype, a partial subset must differ from both f32 and the
+    full 'qkvo' form, and the param tree is dtype-independent."""
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(5)
+    states = jax.random.normal(key, (3, 8, 5))
+    actions = jax.random.normal(jax.random.PRNGKey(6), (3, 8, 6))
+
+    def build(dt, stages):
+        c = POCACritic(state_dim=5, act_dim=6, num_agents=8, hidden=32,
+                       num_heads=4, num_layers=2, compute_dtype=dt,
+                       mp_stages=stages)
+        p = c.init(jax.random.PRNGKey(7), states, actions)
+        return c, p
+
+    outs = {}
+    for name, dt, stages in [("f32", None, "qkvo"),
+                             ("none", jnp.bfloat16, ""),
+                             ("qk", jnp.bfloat16, "qk"),
+                             ("full", jnp.bfloat16, "qkvo")]:
+        c, p = build(dt, stages)
+        v, b = c.apply(p, states, actions)
+        outs[name] = (np.asarray(v), np.asarray(b))
+        # params identical regardless of compute dtype (param_dtype f32)
+        if name == "f32":
+            ref_leaves = jax.tree_util.tree_leaves(p)
+        else:
+            for a, bb in zip(ref_leaves, jax.tree_util.tree_leaves(p)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    np.testing.assert_array_equal(outs["f32"][1], outs["none"][1])
+    assert np.abs(outs["qk"][1] - outs["f32"][1]).max() > 0
+    assert np.abs(outs["qk"][1] - outs["full"][1]).max() > 0
+    # every mode stays close to f32 (bf16 operand noise only)
+    np.testing.assert_allclose(outs["full"][1], outs["f32"][1],
+                               atol=0.05, rtol=0.05)
+
+
 def test_recurrent_actor_step_vs_sequence():
     actor = RecurrentDiscreteActor(num_actions=6, hidden=16, num_layers=1, memory=16)
     obs_seq = jax.random.normal(jax.random.PRNGKey(8), (4, 5, 4))
