@@ -33,25 +33,40 @@ import time
 
 BASELINE_ARENA_STEPS_PER_S = 32_000.0  # estimated 64-env GPU reference
 
+# Whether the primary env bench uses the single-kernel fused step
+# (ops/fused_step.py) on TPU by default. Flipped only after the fused
+# path is measured faster AND parity-validated on real hardware
+# (BENCH_NOTES.md round-4 section).
+FUSED_STEP_DEFAULT = False
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
-                    use_pallas=True):
+                    use_pallas=True, fused_step=None):
     """Tuned per the round-1 sweep (BENCH_NOTES.md): E=32768 arenas with the
     fused Pallas sensor kernel, 500 steps per dispatch to amortize the
-    ~28 ms tunnel round-trip."""
+    ~28 ms tunnel round-trip.
+
+    ``fused_step``: run the whole control tick as ONE Pallas program on
+    an arena-on-lanes state (ops/fused_step.py). ``None`` = the current
+    TPU default (see ``FUSED_STEP_DEFAULT``); ``python bench.py --fused``
+    / ``--classic`` force either path for comparison.
+    """
     import jax
     import jax.numpy as jnp
 
     from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
     from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
 
+    on_tpu = jax.default_backend() == "tpu"
+    if fused_step is None:
+        fused_step = on_tpu and FUSED_STEP_DEFAULT
     env = DirectionalGateEnv(DirectionalGateEnvCfg(
         variant=variant, num_envs=E, num_agents=N,
-        use_pallas=use_pallas and jax.default_backend() == "tpu"))
+        use_pallas=use_pallas and on_tpu))
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)
 
@@ -61,16 +76,38 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
     else:
         actions = jax.random.uniform(jax.random.PRNGKey(1), (E, N, 2), -1.0, 1.0)
 
-    @jax.jit
-    def run(state):
-        def body(s, _):
-            s, ts = env.step(s, actions)
-            return s, ts.reward.sum()
-        s, r = jax.lax.scan(body, state, None, length=n_steps)
-        return s, r.sum()
+    if fused_step:
+        from swarmacb_tpu.env.lanes import state_to_lanes, step_lanes, to_lanes
+
+        log(f"[bench] env path: fused single-kernel step (ops/fused_step.py)")
+        carry0 = state_to_lanes(env, state)
+        if env.cfg.discrete_actions:
+            acts_l = to_lanes(actions, E)
+        else:
+            acts_l = (to_lanes(actions[..., 0], E), to_lanes(actions[..., 1], E))
+
+        @jax.jit
+        def run(lanes):
+            def body(l, _):
+                l, reward, done, _ = step_lanes(env, l, acts_l,
+                                                want_obs=False)
+                return l, reward.sum()
+            l, r = jax.lax.scan(body, lanes, None, length=n_steps)
+            return l, r.sum()
+    else:
+        log(f"[bench] env path: composed step (per-phase kernels)")
+
+        @jax.jit
+        def run(state):
+            def body(s, _):
+                s, ts = env.step(s, actions)
+                return s, ts.reward.sum()
+            s, r = jax.lax.scan(body, state, None, length=n_steps)
+            return s, r.sum()
+        carry0 = state
 
     t0 = time.perf_counter()
-    state2, _ = jax.block_until_ready(run(state))
+    state2, _ = jax.block_until_ready(run(carry0))
     log(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s")
 
     best = 0.0
@@ -113,7 +150,12 @@ def main():
     import jax
 
     log(f"[bench] devices: {jax.devices()}")
-    value = bench_env_steps()
+    fused = None
+    if "--fused" in sys.argv:
+        fused = True
+    elif "--classic" in sys.argv:
+        fused = False
+    value = bench_env_steps(fused_step=fused)
     try:
         train_sps = bench_train_iteration()  # realized reference config
     except Exception as e:  # secondary metric must not kill the benchmark
