@@ -33,7 +33,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 def measure(variant: str, E: int, iters: int, horizon: int | None,
             mixed_precision: bool, phase_split: bool,
-            accum_chunk_groups: int | None = None) -> dict:
+            accum_chunk_groups: int | None = None,
+            mp_stages: str | None = None) -> dict:
     import jax
 
     from swarmacb_tpu.agents import POCATrainer
@@ -46,6 +47,8 @@ def measure(variant: str, E: int, iters: int, horizon: int | None,
     if horizon is not None:
         cfg.horizon = horizon
     cfg.mixed_precision = mixed_precision
+    if mp_stages is not None:
+        cfg.mp_stages = mp_stages
     if accum_chunk_groups is not None:
         cfg.accum_chunk_groups = accum_chunk_groups
 
@@ -125,6 +128,9 @@ def main():
                         "Useful to bound measurement time at very large E "
                         "— per-decision cost is linear in T.")
     p.add_argument("--mixed_precision", action="store_true")
+    p.add_argument("--mp_stages", type=str, default=None,
+                   help="Subset of 'qkvo' for --mixed_precision "
+                        "(POCAConfig.mp_stages)")
     p.add_argument("--no-phase-split", action="store_true")
     p.add_argument("--accum_chunk_groups", type=int, default=None,
                    help="Override POCAConfig.accum_chunk_groups (the "
@@ -134,7 +140,7 @@ def main():
     for E in [int(e) for e in args.envs.split(",")]:
         r = measure(args.variant, E, args.iters, args.horizon,
                     args.mixed_precision, not args.no_phase_split,
-                    args.accum_chunk_groups)
+                    args.accum_chunk_groups, args.mp_stages)
         print(json.dumps(r), flush=True)
 
 
