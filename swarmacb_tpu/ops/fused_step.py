@@ -215,8 +215,21 @@ def _behaviours(sb, mod, es, ek, ed, pa, pk, pd, aa, ak, ad,
     counters are exact; only the steering floats carry numerics mode."""
     pvx, pvy = sb["pvx"], sb["pvy"]
     # obstacle-in-front (behavior_modules.py:237-243): value ≥ thr and
-    # |angle| ≤ π/2 ⟺ Σ-vector x-component ≥ 0
-    obstacle = (sb["pval"] >= prox_threshold) & (sb["psum_x"] >= 0)
+    # |angle| ≤ π/2. The jnp path evaluates |atan2(sy, sx)| ≤ π/2 in f32,
+    # and on TPU that test accepts a sliver of the sx < 0 half-plane:
+    # XLA's atan2 near ±x→0 evaluates f32(π/2) − atan(x/y), so for
+    # −x/|y| < 2⁻²⁴ (half-ULP of f32(π/2)) the result still rounds to
+    # f32(π/2) and passes the ≤ comparison (measured transition at
+    # ratio −5.96e−8 across 4 decades of |sy| — scale-invariant).
+    # This matters systematically: a robot running parallel to a wall
+    # reads equal values on symmetric sensor pairs whose cos components
+    # cancel to an ~1e−9 residue, parking sum_x inside the band for many
+    # consecutive steps. Replicate the band exactly: accept iff
+    # sx > −2⁻²⁴·|sy| (the ×2²⁴ is a power of two, so the comparison is
+    # exact f32); the sx==sy==0 corner differs (atan2(0,0)=0 passes) but
+    # is unreachable under the pval ≥ threshold gate.
+    in_front = sb["psum_x"] * 16777216.0 > -jnp.abs(sb["psum_y"])
+    obstacle = (sb["pval"] >= prox_threshold) & in_front
     # turn dir (behavior_modules.py:245-256): angle < 0 ⟺ sum_y < 0
     fones = jnp.ones_like(pvx)
     turn = jnp.where(sb["psum_y"] < 0, -fones, fones)
