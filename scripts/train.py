@@ -59,8 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "POCAConfig.mixed_precision")
     p.add_argument("--mp_stages", type=str, default=None,
                    help="Subset of 'qkvo': which RSA projection stages "
-                        "take bf16 under --mixed_precision (diagnostic; "
-                        "see POCAConfig.mp_stages)")
+                        "take bf16 under --mixed_precision, or 'auto' "
+                        "for the per-variant stages validated by "
+                        "full-budget curve overlays (VALIDATION.md "
+                        "round-4 bisection; see POCAConfig.mp_stages)")
     p.add_argument("--use_pallas", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="Fused Pallas sensor/collision kernels for the env "
@@ -160,8 +162,17 @@ def main():
     if args.mixed_precision:
         cfg.mixed_precision = True
     if args.mp_stages is not None:
-        assert set(args.mp_stages) <= set("qkvo"), args.mp_stages
-        cfg.mp_stages = args.mp_stages
+        if args.mp_stages == "auto":
+            # per-variant bf16 stage placement validated by full-budget
+            # curve overlays (VALIDATION.md round-4 bisection): lily's
+            # reward deficit only appears when the scores (qk) and
+            # values/output (vo) bf16 rounding compound, while dandelion
+            # showed the opposite (qkvo in-band, qk below band)
+            cfg.mp_stages = {"lily": "qk", "cyclamen": "qk"}.get(
+                variant, "qkvo")
+        else:
+            assert set(args.mp_stages) <= set("qkvo"), args.mp_stages
+            cfg.mp_stages = args.mp_stages
     if args.fused_tail != "config":
         cfg.fused_tail = args.fused_tail == "on"
     if args.fused_attention != "config":
