@@ -34,10 +34,12 @@ import time
 BASELINE_ARENA_STEPS_PER_S = 32_000.0  # estimated 64-env GPU reference
 
 # Whether the primary env bench uses the single-kernel fused step
-# (ops/fused_step.py) on TPU by default. Flipped only after the fused
-# path is measured faster AND parity-validated on real hardware
-# (BENCH_NOTES.md round-4 section).
-FUSED_STEP_DEFAULT = False
+# (ops/fused_step.py) on TPU by default. Flipped in round 4 after the
+# fused path measured 16.19 M arena-steps/s vs 13.20 M composed (1.23×,
+# with compile+first run down 598 s → 30 s) AND passed on-hardware
+# parity validation on both env paths (scripts/tpu_validate_fused_step.py;
+# BENCH_NOTES.md round-4 section).
+FUSED_STEP_DEFAULT = True
 
 
 def log(*a):
