@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--seeds", type=str, default=None,
+                   help="Train MULTIPLE seeds concurrently as one vmapped "
+                        "program on the chip (the TPU-native form of the "
+                        "reference's 10-seed SLURM array, "
+                        "train_dandelion.slurm:3). Comma/range list, e.g. "
+                        "'0-9' or '0,2,5'. Per-seed TensorBoard and "
+                        "checkpoint dirs are derived as <dir>_seed<s> from "
+                        "--log_dir/--checkpoint_dir (or the config's "
+                        "defaults), matching the serial sweep layout")
     p.add_argument("--platform", type=str, default=None,
                    help="Force a JAX platform (tpu/cpu)")
     p.add_argument("--mixed_precision", action="store_true",
@@ -87,6 +96,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "'off' (single device), or an explicit device count")
     p.add_argument("--no-tensorboard", action="store_true")
     return p
+
+
+def _parse_seeds(spec: str) -> list[int]:
+    """'0-9' / '0,2,5' / mixes of both → sorted unique seed list."""
+    out: list[int] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if "-" in part[1:]:
+            lo, hi = part.split("-", 1)
+            out.extend(range(int(lo), int(hi) + 1))
+        elif part:
+            out.append(int(part))
+    return sorted(set(out))
 
 
 def main():
@@ -211,6 +233,38 @@ def main():
             mesh = make_mesh(n)
             print(f"[train] data-parallel mesh over {n} device(s): "
                   f"{env.num_envs // n} arenas/device")
+
+    # ── Seed-parallel branch: S lanes vmapped into one program ─────
+    if args.seeds is not None:
+        seeds = _parse_seeds(args.seeds)
+        if mesh is not None:
+            raise SystemExit("--seeds is single-device for now; pass "
+                             "--data_parallel off")
+        from swarmacb_tpu.agents import SeedParallelTrainer
+
+        log_base = cfg.log_dir.rstrip("/")
+        ckpt_base = cfg.checkpoint_dir.rstrip("/")
+        writers = None
+        if not args.no_tensorboard:
+            writers = [make_writer(f"{log_base}_seed{s}") for s in seeds]
+        cks = [Checkpointer(f"{ckpt_base}_seed{s}", keep=cfg.keep_checkpoints)
+               for s in seeds]
+        trainer = SeedParallelTrainer(env, cfg, seeds, writers=writers)
+        print(f"[train] seed-parallel: {len(seeds)} lanes "
+              f"({seeds}) × E={env.num_envs} arenas in one program")
+        if writers is not None:
+            hp_text = "\n".join(f"{k}: {v}" for k, v in vars(cfg).items())
+            for w in writers:
+                w.add_text("hyperparameters", hp_text, 0)
+        if args.checkpoint == "latest":
+            if not trainer.try_resume(cks):
+                print("[train] no common checkpoint step across seed dirs; "
+                      "starting fresh")
+        elif args.checkpoint:
+            raise SystemExit("--seeds resumes only via --checkpoint latest "
+                             "(per-seed dirs)")
+        trainer.train(checkpointers=cks)
+        return
 
     # tensorboard only on process 0 in multi-host runs
     is_main = jax.process_index() == 0

@@ -10,12 +10,14 @@ from .losses import (
     trust_region_policy_loss,
     trust_region_value_loss,
 )
+from .seed_parallel import SeedParallelTrainer
 from .trainer import POCATrainer, TrainState
 
 __all__ = [
     "Checkpointer",
     "POCAConfig",
     "POCATrainer",
+    "SeedParallelTrainer",
     "PolynomialDecay",
     "Rollout",
     "TrainState",

@@ -133,20 +133,7 @@ class POCATrainer:
             fused_attention=fused_attention,
         )
 
-        key = jax.random.PRNGKey(c.seed)
-        key, ka, kc = jax.random.split(key, 3)
-        dummy_obs = jnp.zeros((2, self.obs_dim))
-        if self.recurrent:
-            carry0 = (jnp.zeros((2, c.memory_size)), jnp.zeros((2, c.memory_size)))
-            actor_params = self.actor.init(ka, dummy_obs, carry0,
-                                           method=self.actor.step)["params"]
-        else:
-            actor_params = self.actor.init(ka, dummy_obs)["params"]
-        critic_params = self.critic.init(
-            kc, jnp.zeros((2, self.num_agents, self.STATE_DIM)),
-            jnp.zeros((2, self.num_agents, self.act_dim_critic)),
-        )["params"]
-        params = {"actor": actor_params, "critic": critic_params}
+        params, key = self.init_params_for_seed(c.seed)
 
         # single Adam over actor+critic (poca_trainer.py:271-274)
         self.tx = optax.inject_hyperparams(optax.adam)(
@@ -224,6 +211,29 @@ class POCATrainer:
     # ──────────────────────────────────────────────────────────────
     #  helpers
     # ──────────────────────────────────────────────────────────────
+
+    def init_params_for_seed(self, seed: int):
+        """Fresh ``(params, key)`` exactly as a serial run with
+        ``cfg.seed=seed`` produces them — the same PRNGKey threading as
+        the reference trainer's per-seed init. Shared by ``__init__`` and
+        the seed-parallel trainer (agents/seed_parallel.py) so a vmapped
+        seed lane starts from the identical state its serial counterpart
+        would."""
+        c = self.cfg
+        key = jax.random.PRNGKey(seed)
+        key, ka, kc = jax.random.split(key, 3)
+        dummy_obs = jnp.zeros((2, self.obs_dim))
+        if self.recurrent:
+            carry0 = (jnp.zeros((2, c.memory_size)), jnp.zeros((2, c.memory_size)))
+            actor_params = self.actor.init(ka, dummy_obs, carry0,
+                                           method=self.actor.step)["params"]
+        else:
+            actor_params = self.actor.init(ka, dummy_obs)["params"]
+        critic_params = self.critic.init(
+            kc, jnp.zeros((2, self.num_agents, self.STATE_DIM)),
+            jnp.zeros((2, self.num_agents, self.act_dim_critic)),
+        )["params"]
+        return {"actor": actor_params, "critic": critic_params}, key
 
     def _encode_actions_for_critic(self, actions):
         """One-hot discrete actions for the critic's entity embedding
