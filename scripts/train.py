@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of iterations 2-4 "
                         "into DIR (view with tensorboard or xprof)")
     p.add_argument("--total_timesteps", type=int, default=None)
+    p.add_argument("--checkpoint_interval", type=int, default=None,
+                   help="Agent-decisions between checkpoint saves "
+                        "(YAML default 120k = every iteration at E=16; "
+                        "raise for seed-parallel runs where each save "
+                        "transfers S param snapshots)")
     p.add_argument("--decision_period", type=int, default=None)
     p.add_argument("--hidden_dim", type=int, default=None)
     p.add_argument("--num_layers", type=int, default=None)
@@ -169,6 +174,8 @@ def main():
         cfg.recurrent = (variant == "cyclamen")
     if args.total_timesteps is not None:
         cfg.total_timesteps = args.total_timesteps
+    if args.checkpoint_interval is not None:
+        cfg.checkpoint_interval = args.checkpoint_interval
     if args.hidden_dim is not None:
         cfg.hidden_dim = args.hidden_dim
     if args.num_layers is not None:

@@ -59,9 +59,20 @@ class SeedParallelTrainer:
         self.S = len(self.seeds)
         # the base trainer supplies networks, schedules, minibatch
         # derivation and the fused iteration function; its own
-        # train_state is unused (per-seed states live on self)
-        self.base = POCATrainer(env, dataclasses.replace(cfg, seed=self.seeds[0]),
-                                writer=None, mesh=None)
+        # train_state is unused (per-seed states live on self).
+        # accum_chunk_groups is an ACTIVATION-memory cap per gradient
+        # pass (poca_cfg.py) — under vmap every lane materializes its own
+        # chunk activations simultaneously, so the per-lane cap must
+        # shrink by S to keep the same HBM footprint (S=8 at the default
+        # 1024 OOMs a 16 GB v5e chip; S×(1024/S) chunks are the same
+        # total matmul rows per pass, so throughput is unchanged)
+        chunk = cfg.accum_chunk_groups
+        if chunk > 0:
+            chunk = max(1, chunk // self.S)
+        self.base = POCATrainer(
+            env, dataclasses.replace(cfg, seed=self.seeds[0],
+                                     accum_chunk_groups=chunk),
+            writer=None, mesh=None)
         b = self.base
         if b._use_split_update:
             raise ValueError(
@@ -91,6 +102,13 @@ class SeedParallelTrainer:
                      in_axes=(0, 0, 0, 0, 0, None, None, None)),
             donate_argnums=(1,))
 
+        # one program for a lane slice (checkpoint snapshots): a plain
+        # tree_map of x[i] would dispatch one eager gather PER LEAF —
+        # hundreds of ~28 ms round trips on a tunnelled runtime, paid
+        # once per seed per checkpoint interval
+        self._slice_jit = jax.jit(
+            lambda ts, i: jax.tree_util.tree_map(lambda x: x[i], ts))
+
         self.global_step = 0          # per-seed decisions, as in a serial run
         self.update_count = 0
         self.writers = list(writers) if writers is not None else None
@@ -115,7 +133,7 @@ class SeedParallelTrainer:
         the sliced train_state plus the serial metadata contract, so
         per-seed checkpoints are byte-compatible with serial runs (and
         restorable by play.py / eval_checkpoints.py)."""
-        ts = jax.tree_util.tree_map(lambda x: x[i], self.train_state)
+        ts = self._slice_jit(self.train_state, i)
         return SimpleNamespace(
             train_state=ts,
             global_step=self.global_step,
