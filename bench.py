@@ -80,8 +80,12 @@ def bench_env_steps(variant="daisy", E=32768, N=20, n_steps=500, reps=3,
 
     if fused_step:
         from swarmacb_tpu.env.lanes import state_to_lanes, step_lanes, to_lanes
+        from swarmacb_tpu.ops.fused_step import check_atan2_band
 
         log(f"[bench] env path: fused single-kernel step (ops/fused_step.py)")
+        # fail loudly if an XLA upgrade moved the atan2 rounding band the
+        # kernel replicates (seconds of device time; VERDICT r4 weak #5)
+        log(f"[bench] atan2 band check ok: {check_atan2_band()}")
         carry0 = state_to_lanes(env, state)
         if env.cfg.discrete_actions:
             acts_l = to_lanes(actions, E)

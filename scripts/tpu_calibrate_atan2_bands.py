@@ -24,7 +24,10 @@ scale-invariant; band (2) prints its measured transition for reference.
 from __future__ import annotations
 
 import math
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +65,15 @@ def main():
         lo, hi, mono = bracket(obstacle, ratios, sy)
         print(f"  |sy|={sy}: last-reject={lo:.4e} first-accept={hi:.4e} "
               f"monotone={mono}  (kernel band: -2^-24 = {-2.0**-24:.4e})")
+
+    # exact-boundary + ULP bracket (the linspace above never samples the
+    # representable boundary sx = -2^-24*|sy|, which is what pins the
+    # kernel's strict '>'): ops/fused_step.check_atan2_band asserts the
+    # measured structure — boundary rejects, first accept at b+[0,2] ULPs
+    from swarmacb_tpu.ops.fused_step import check_atan2_band
+
+    print("— band 1 exact-boundary ULP offsets (b = -2^-24*|sy|) —")
+    print(f"  first-accept at b+k ULPs: {check_atan2_band()}")
 
     print("— band 2: [0,2pi) atan2 front test rejects vy/|vx| up to —")
     ratios = np.linspace(0.0, 3e-7, 181)

@@ -55,6 +55,15 @@ def main():
     jax.block_until_ready(x @ x)
     log("[val] health check ok")
 
+    # guard the kernel's atan2-band replication against XLA lowering
+    # drift BEFORE running parity: a changed lowering makes the int-state
+    # comparison below fail confusingly (≈0.2% of avoidance latches flip)
+    # while this probe names the cause directly
+    from swarmacb_tpu.ops.fused_step import check_atan2_band
+
+    offsets = check_atan2_band()
+    log(f"[val] atan2 band check ok (first-accept ULP offsets: {offsets})")
+
     E, N = args.E, args.N
     cfg = DirectionalGateEnvCfg(
         variant=args.variant, num_envs=E, num_agents=N,

@@ -65,6 +65,73 @@ from ..env.geometry import EPUCK_SENSOR_ANGLES, RAB_PROJ_ANGLES
 LANES = 128
 
 
+def check_atan2_band(scales=(0.01, 0.11, 0.73, 1.0, 2.3, 37.0),
+                     max_ulp=2):
+    """Guard against XLA atan2-lowering drift under the kernel's band.
+
+    The kernel's obstacle-in-front test replicates the backend's f32
+    ``|atan2(sy, sx)| ≤ π/2`` with the band predicate
+    ``sx·2²⁴ > −|sy|`` (see _behavior_dispatch). That replication is an
+    empirical property of the CURRENT lowering (f32(π/2) − atan(sx/sy)
+    with round-to-nearest at the half-ULP boundary): measured on v5e,
+    the atan2 test's first-accepted sx sits at b+{0,1,2} ULPs around the
+    exact boundary b = −2⁻²⁴·|sy| (mantissa-dependent; the band predicate
+    itself flips at exactly b+1), and b itself always REJECTS — which is
+    what pins the kernel's strict ``>``. A toolchain upgrade that changes
+    the lowering would move the transition outside that bracket or break
+    its monotone half-ULP structure and silently re-open the int-state
+    divergence the round-3 kernel had; this probe (seconds of device
+    time) fails loudly instead. Wired into
+    scripts/tpu_validate_fused_step.py and bench.py startup.
+
+    Returns {scale: first_accept_ulp_offset}; raises RuntimeError on
+    drift.
+    """
+    @jax.jit
+    def accept(sy, sx):
+        return jnp.abs(jnp.arctan2(sy, sx)) <= (math.pi * 0.5)
+
+    offsets = {}
+    for sy in scales:
+        sy32 = np.float32(sy)
+        b = np.float32(-(2.0 ** -24)) * sy32     # exact (power-of-two scale)
+        pts = []
+        x = b
+        for _ in range(3):
+            x = np.nextafter(x, np.float32(-1))
+            pts.insert(0, x)
+        pts.append(b)
+        x = b
+        for _ in range(max_ulp + 2):
+            x = np.nextafter(x, np.float32(1))
+            pts.append(x)
+        pts = np.asarray(pts, dtype=np.float32)
+        got = np.asarray(accept(jnp.full(pts.shape, sy32), jnp.asarray(pts)))
+        if not np.all(np.diff(got.astype(int)) >= 0):
+            raise RuntimeError(
+                f"atan2 band check: non-monotone accept pattern at "
+                f"|sy|={sy}: {got.astype(int).tolist()} — XLA atan2 "
+                "lowering changed; recalibrate ops/fused_step.py "
+                "(scripts/tpu_calibrate_atan2_bands.py)")
+        if got[3]:   # index 3 is the exact boundary b
+            raise RuntimeError(
+                f"atan2 band check: exact boundary −2⁻²⁴·|sy| ACCEPTED at "
+                f"|sy|={sy} — the kernel's strict '>' no longer matches; "
+                "recalibrate ops/fused_step.py")
+        if not got.any():
+            raise RuntimeError(
+                f"atan2 band check: no acceptance within b+{max_ulp + 2} "
+                f"ULPs at |sy|={sy} — lowering changed; recalibrate")
+        off = int(np.argmax(got)) - 3
+        if off < 0 or off > max_ulp:
+            raise RuntimeError(
+                f"atan2 band check: first accept at b{off:+d} ULPs at "
+                f"|sy|={sy}, outside the calibrated [0, {max_ulp}] "
+                "bracket — lowering changed; recalibrate")
+        offsets[float(sy)] = off
+    return offsets
+
+
 def _nr_rsqrt(x):
     """Hardware rsqrt + one Newton–Raphson step → full f32 accuracy."""
     r0 = jax.lax.rsqrt(x)
@@ -224,10 +291,18 @@ def _behaviours(sb, mod, es, ek, ed, pa, pk, pd, aa, ak, ad,
     # This matters systematically: a robot running parallel to a wall
     # reads equal values on symmetric sensor pairs whose cos components
     # cancel to an ~1e−9 residue, parking sum_x inside the band for many
-    # consecutive steps. Replicate the band exactly: accept iff
+    # consecutive steps. Replicate the band: accept iff
     # sx > −2⁻²⁴·|sy| (the ×2²⁴ is a power of two, so the comparison is
-    # exact f32); the sx==sy==0 corner differs (atan2(0,0)=0 passes) but
-    # is unreachable under the pval ≥ threshold gate.
+    # exact f32). Measured precision of the replication (round-5 probe,
+    # check_atan2_band): the lowering's true first-accept sits at
+    # b+{0,1,2} ULPs of sx around the exact boundary b (mantissa-
+    # dependent rounding of the atan term), while this predicate flips
+    # at exactly b+1 — i.e. band vs atan2 can disagree on single-ULP
+    # slivers of sx at some |sy| mantissas; b itself always rejects,
+    # which pins the strict '>'. check_atan2_band() guards that bracket
+    # against XLA lowering changes at validator/bench startup. The
+    # sx==sy==0 corner differs (atan2(0,0)=0 passes) but is unreachable
+    # under the pval ≥ threshold gate.
     in_front = sb["psum_x"] * 16777216.0 > -jnp.abs(sb["psum_y"])
     obstacle = (sb["pval"] >= prox_threshold) & in_front
     # turn dir (behavior_modules.py:245-256): angle < 0 ⟺ sum_y < 0
