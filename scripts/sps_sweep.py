@@ -34,7 +34,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 def measure(variant: str, E: int, iters: int, horizon: int | None,
             mixed_precision: bool, phase_split: bool,
             accum_chunk_groups: int | None = None,
-            mp_stages: str | None = None) -> dict:
+            mp_stages: str | None = None,
+            fused_env_step: bool | None = None) -> dict:
     import jax
 
     from swarmacb_tpu.agents import POCATrainer
@@ -51,6 +52,8 @@ def measure(variant: str, E: int, iters: int, horizon: int | None,
         cfg.mp_stages = mp_stages
     if accum_chunk_groups is not None:
         cfg.accum_chunk_groups = accum_chunk_groups
+    if fused_env_step is not None:
+        cfg.fused_env_step = fused_env_step
 
     env = make_env("SwarmACB-DirectionalGate-v0", variant=variant,
                    num_envs=E, use_pallas=jax.default_backend() == "tpu")
@@ -77,6 +80,7 @@ def measure(variant: str, E: int, iters: int, horizon: int | None,
         "group_mb": trainer.group_mb,
         "chunk_rows": trainer._chunk_rows(trainer.group_mb),
         "mixed_precision": mixed_precision,
+        "fused_env_step": trainer._use_lanes,
         "compile_plus_first_s": round(compile_s, 1),
         "iter_s": round(dt / iters, 2),
         "decisions_per_sec": round(decisions_per_iter * iters / dt),
@@ -132,6 +136,10 @@ def main():
                    help="Subset of 'qkvo' for --mixed_precision "
                         "(POCAConfig.mp_stages)")
     p.add_argument("--no-phase-split", action="store_true")
+    p.add_argument("--fused_env_step", choices=("config", "on", "off"),
+                   default="config",
+                   help="fused single-kernel env step in the rollout scan "
+                        "(POCAConfig.fused_env_step)")
     p.add_argument("--accum_chunk_groups", type=int, default=None,
                    help="Override POCAConfig.accum_chunk_groups (the "
                         "gradient-accumulation chunk size in groups)")
@@ -140,7 +148,9 @@ def main():
     for E in [int(e) for e in args.envs.split(",")]:
         r = measure(args.variant, E, args.iters, args.horizon,
                     args.mixed_precision, not args.no_phase_split,
-                    args.accum_chunk_groups, args.mp_stages)
+                    args.accum_chunk_groups, args.mp_stages,
+                    None if args.fused_env_step == "config"
+                    else args.fused_env_step == "on")
         print(json.dumps(r), flush=True)
 
 

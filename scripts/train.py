@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ops/cf_attention.py) — scores to pooled rows in "
                         "one Pallas program; supersedes --fused_tail when "
                         "on. 'config' defers to POCAConfig.fused_attention")
+    p.add_argument("--fused_env_step", type=str, default="config",
+                   choices=["config", "on", "off"],
+                   help="Fused single-kernel env step in the TRAINING "
+                        "rollout scan (env/lanes.py + ops/fused_step.py). "
+                        "'config' defers to POCAConfig.fused_env_step "
+                        "(None there = auto-off; BENCH_NOTES.md round-5)")
     p.add_argument("--distributed", action="store_true",
                    help="Initialize jax.distributed for multi-host training")
     p.add_argument("--data_parallel", type=str, default="auto",
@@ -206,6 +212,8 @@ def main():
         cfg.fused_tail = args.fused_tail == "on"
     if args.fused_attention != "config":
         cfg.fused_attention = args.fused_attention == "on"
+    if args.fused_env_step != "config":
+        cfg.fused_env_step = args.fused_env_step == "on"
     if args.num_envs is not None:
         env_overrides["num_envs"] = args.num_envs
 

@@ -123,6 +123,9 @@ class POCATrainer:
         # slower fwd+bwd than the fused-tail path (poca_cfg.py); forcing
         # True/False always wins
         fused_attention = bool(c.fused_attention)
+        # fused env step in the rollout scan: auto OFF (poca_cfg.py
+        # rationale); forcing True/False always wins
+        self._use_lanes = bool(c.fused_env_step)
         self.critic = POCACritic(
             state_dim=self.STATE_DIM, act_dim=self.act_dim_critic,
             num_agents=self.num_agents, hidden=c.hidden_dim,
@@ -269,6 +272,10 @@ class POCATrainer:
         (env_state, obs, actor_carry, key, rollout, bootstrap_value).
         ``want_bootstrap=False`` skips the end-of-rollout critic pass
         (segmented rollouts only need it after the final segment)."""
+        if self._use_lanes:
+            return self._rollout_fn_lanes(params, env_state, obs,
+                                          actor_carry, key, length,
+                                          want_bootstrap)
         env = self.env
         E, N = self.num_envs, self.num_agents
         dp = self.cfg.decision_period
@@ -353,6 +360,113 @@ class POCATrainer:
             step_fn, (env_state, obs, actor_carry, key), None,
             length=self.cfg.horizon if length is None else length,
         )
+
+        bootstrap = (self._bootstrap_fn(params["critic"], env_state)
+                     if want_bootstrap else None)
+        return env_state, obs, actor_carry, key, rollout, bootstrap, aux
+
+    def _rollout_fn_lanes(self, params, env_state, obs, actor_carry, key,
+                          length=None, want_bootstrap=True):
+        """``_rollout_fn`` with the fused single-Pallas-program env step:
+        the scan carries the arena-on-lanes state (env/lanes.py), so the
+        per-step env work is ONE kernel call instead of the composed
+        step's ~10 small fusions + per-phase kernels. Interface-identical
+        to ``_rollout_fn`` — the lanes layout exists only inside this
+        function (conversion at scan entry/exit), so the update path,
+        checkpoints and the outer loop are unchanged. Gated by
+        POCAConfig.fused_env_step."""
+        from ..env import lanes as laneslib
+
+        env = self.env
+        E, N = self.num_envs, self.num_agents
+        dp = self.cfg.decision_period
+        lanes0 = laneslib.state_to_lanes(env, env_state)
+
+        def step_fn(carry, _):
+            lanes, obs, actor_carry, key = carry
+            key, k_sample = jax.random.split(key)
+            flat_obs = obs.reshape(E * N, self.obs_dim)
+
+            if self.recurrent:
+                mem = self.cfg.memory_size
+                stored_h = actor_carry[0].reshape(E, N, mem)
+                stored_c = actor_carry[1].reshape(E, N, mem)
+            else:
+                stored_h = stored_c = None
+
+            dist_params, new_carry = self._apply_actor(
+                params["actor"], flat_obs, actor_carry
+            )
+            if self.discrete:
+                logits = dist_params
+                act_flat = DiscreteActor.sample(k_sample, logits)
+                logp_flat = DiscreteActor.log_prob(logits, act_flat)
+                actions = act_flat.reshape(E, N, 1).astype(jnp.float32)
+                log_probs = logp_flat.reshape(E, N, 1)
+                env_actions = laneslib.to_lanes(
+                    act_flat.reshape(E, N).astype(jnp.int32), E)
+            else:
+                mu, std = dist_params
+                act_flat = Actor.sample(k_sample, mu, std)
+                logp_flat = Actor.log_prob(mu, std, act_flat)
+                actions = act_flat.reshape(E, N, self.act_dim)
+                log_probs = logp_flat.reshape(E, N, self.act_dim)
+                # clamp(−3,3)/3 preprocessing (poca_trainer.py:457-467);
+                # step_lanes applies the env-side ×max_wheel_speed
+                ea = jnp.clip(actions, -3.0, 3.0) / 3.0
+                env_actions = (laneslib.to_lanes(ea[..., 0], E),
+                               laneslib.to_lanes(ea[..., 1], E))
+
+            critic_state = laneslib.critic_state_from_lanes(env, lanes)
+            team_val = self.critic.apply(
+                {"params": params["critic"]}, critic_state,
+                method=self.critic.critic_pass,
+            )[:, 0]
+            critic_actions = self._encode_actions_for_critic(actions)
+            baselines = self.critic.apply(
+                {"params": params["critic"]}, critic_state, critic_actions,
+                method=self.critic.all_baselines,
+            )
+
+            acc_reward = jnp.zeros(E)
+            last_done = jnp.zeros(E)
+            next_obs = obs
+            for sub in range(dp):
+                want = sub == dp - 1
+                lanes, reward, done, obs_tiles = laneslib.step_lanes(
+                    env, lanes, env_actions, want_obs=want)
+                acc_reward = acc_reward + reward
+                last_done = jnp.maximum(last_done, done.astype(jnp.float32))
+                if want:
+                    next_obs = laneslib.obs_from_tiles(env, obs_tiles,
+                                                       lanes["prev"])
+
+            transition = Rollout(
+                obs=obs,
+                critic_states=critic_state,
+                actions=actions,
+                log_probs=log_probs,
+                rewards=acc_reward * self.cfg.reward_strength,
+                dones=last_done,
+                team_values=team_val,
+                baselines=baselines,
+                memory_h=stored_h,
+                memory_c=stored_c,
+            )
+
+            if self.recurrent:
+                keep = (1.0 - last_done)[:, None].repeat(N, 1).reshape(E * N, 1)
+                new_carry = (new_carry[0] * keep, new_carry[1] * keep)
+
+            aux = (acc_reward, last_done,
+                   laneslib.from_lanes(lanes["cg"], E, squeeze=True))
+            return (lanes, next_obs, new_carry, key), (transition, aux)
+
+        (lanes, obs, actor_carry, key), (rollout, aux) = jax.lax.scan(
+            step_fn, (lanes0, obs, actor_carry, key), None,
+            length=self.cfg.horizon if length is None else length,
+        )
+        env_state = laneslib.lanes_to_state(env, lanes)
 
         bootstrap = (self._bootstrap_fn(params["critic"], env_state)
                      if want_bootstrap else None)

@@ -117,6 +117,19 @@ class POCAConfig:
     # full fusion). None = auto (off everywhere); True/False forces.
     fused_attention: "bool | None" = None
 
+    # Fused env step in the TRAINING rollout: the rollout scan carries
+    # the arena-on-lanes state (env/lanes.py) and each step is ONE
+    # Pallas program (ops/fused_step.py) plus the actor/critic matmuls,
+    # instead of the composed step's ~10 small XLA fusions + per-phase
+    # kernels. Same step semantics (stale-sensor contract, folded
+    # auto-reset, decision_period sub-stepping) under the kernel's
+    # documented numerics mode; RNG draw shapes are (N, Ep) lanes, so
+    # trajectories are a distributionally-identical different sample.
+    # None = auto (currently OFF: measured SPS-neutral at the E=16
+    # operating point where the update dominates — BENCH_NOTES.md
+    # round-5 "rollout under the trainer"); True/False forces.
+    fused_env_step: "bool | None" = None
+
     # Mixed precision: bf16 MATMUL OPERANDS in the critic — the RSA
     # Q/K/V/out projections and the counterfactual pass's big attn×values
     # contraction take bf16 inputs with f32 MXU accumulation; fc, the

@@ -113,6 +113,20 @@ def lanes_to_state(env, lanes: dict) -> EnvState:
     )
 
 
+def critic_state_from_lanes(env, lanes: dict):
+    """5-D polar critic state (E, N, 5) straight from a lanes state —
+    what the trainer's per-step critic consumers need
+    (sensors.critic_state_5d; directional_gate_env.py:798-809)."""
+    from . import sensors
+
+    E = env.num_envs
+    pos = jnp.stack([from_lanes(lanes["px"], E), from_lanes(lanes["py"], E)],
+                    axis=-1)
+    return sensors.critic_state_5d(
+        pos, from_lanes(lanes["yaw"], E), env.arena_center,
+        env.cfg.arena_circumradius, env.light_dir)
+
+
 def obs_from_tiles(env, obs_tiles, prev_tile):
     """Assemble (E, N, obs_dim) observations from the kernel's obs tiles
     (ground channel = the post-reset ``prev`` tile, which equals

@@ -82,6 +82,62 @@ def _run_case(name):
     }
 
 
+# Lanes-path goldens (VERDICT r4 #7): the fused-step scan driver
+# (env/lanes.py + ops/fused_step.py, interpret mode on CPU) gets the
+# same regression pinning as the jnp path. One discrete and one
+# continuous case; trajectories legitimately differ from the jnp
+# fixtures (kernel numerics mode + (N, Ep) draw shapes), so these pin
+# the LANES path against itself across refactors.
+LANES_CASES = {
+    "lanes_daisy": dict(variant="daisy", num_envs=2, num_agents=8, steps=30),
+    "lanes_dandelion": dict(variant="dandelion", num_envs=2, num_agents=8,
+                            steps=30),
+}
+
+
+def _run_case_lanes(name):
+    from swarmacb_tpu.env.lanes import (from_lanes, state_to_lanes,
+                                        step_lanes, to_lanes)
+
+    c = LANES_CASES[name]
+    env = DirectionalGateEnv(DirectionalGateEnvCfg(
+        variant=c["variant"], num_envs=c["num_envs"],
+        num_agents=c["num_agents"]))
+    E, N = c["num_envs"], c["num_agents"]
+    state, _ = env.reset(jax.random.PRNGKey(1234))
+    lanes0 = state_to_lanes(env, state)
+
+    rng = np.random.default_rng(99)
+    if env.cfg.discrete_actions:
+        acts = rng.integers(0, 6, (c["steps"], E, N)).astype(np.int32)
+        acts_l = jnp.stack([to_lanes(jnp.asarray(a), E) for a in acts])
+        unpack = lambda a: a
+    else:
+        acts = rng.uniform(-1.0, 1.0, (c["steps"], E, N, 2)).astype(np.float32)
+        l = jnp.stack([to_lanes(jnp.asarray(a[..., 0]), E) for a in acts])
+        r = jnp.stack([to_lanes(jnp.asarray(a[..., 1]), E) for a in acts])
+        acts_l = (l, r)
+        unpack = lambda a: (a[0], a[1])
+
+    @jax.jit
+    def run(lanes, acts_l):
+        def body(l, a):
+            l, reward, done, _ = step_lanes(env, l, unpack(a), want_obs=False)
+            return l, (from_lanes(l["px"], E), from_lanes(l["py"], E),
+                       from_lanes(l["yaw"], E), reward)
+        if isinstance(acts_l, tuple):
+            acts_l = jnp.stack(acts_l, axis=1)
+            return jax.lax.scan(
+                lambda l, a: body(l, (a[0], a[1])), lanes, acts_l)
+        return jax.lax.scan(body, lanes, acts_l)
+
+    _, (px, py, yaw, reward) = run(lanes0, acts_l)
+    return {
+        "px": np.asarray(px), "py": np.asarray(py),
+        "yaw": np.asarray(yaw), "reward": np.asarray(reward),
+    }
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_golden_trajectory(name):
     path = FIXTURE_DIR / f"golden_{name}.npz"
@@ -95,13 +151,28 @@ def test_golden_trajectory(name):
             err_msg=f"{name}/{k} drifted from the golden fixture")
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(LANES_CASES))
+def test_golden_lanes_trajectory(name):
+    path = FIXTURE_DIR / f"golden_{name}.npz"
+    if not path.exists():
+        pytest.skip(f"fixture {path} missing — run `python {__file__} regen`")
+    golden = np.load(path)
+    out = _run_case_lanes(name)
+    for k in golden.files:
+        np.testing.assert_allclose(
+            out[k], golden[k], atol=1e-6,
+            err_msg=f"{name}/{k} drifted from the lanes golden fixture")
+
+
 if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         FIXTURE_DIR.mkdir(exist_ok=True)
-        names = sys.argv[2:] or sorted(CASES)
+        names = sys.argv[2:] or sorted(CASES) + sorted(LANES_CASES)
         for name in names:
+            runner = _run_case_lanes if name in LANES_CASES else _run_case
             np.savez_compressed(FIXTURE_DIR / f"golden_{name}.npz",
-                                **_run_case(name))
+                                **runner(name))
             print("wrote", name)
