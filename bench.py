@@ -152,6 +152,48 @@ def bench_train_iteration(variant="dandelion", E=64, horizon=1000,
     return float(r["decisions_per_sec"])
 
 
+def bench_seed_parallel(variant="dandelion", E=16, S=10, iters=2):
+    """Secondary: the seed-parallel run unit (train.py --seeds) — S
+    complete per-seed train iterations vmapped into one program at the
+    validated E=16 operating point (agents/seed_parallel.py; the
+    TPU-native form of the reference's 10-seed SLURM array). Reports
+    aggregate decisions/s and the one-off compile, the two numbers that
+    size a full 5×10 matrix job."""
+    import pathlib
+    import sys
+    import time as _time
+
+    import jax
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from swarmacb_tpu.agents import SeedParallelTrainer
+    from swarmacb_tpu.config.loader import load_config
+    from swarmacb_tpu.env import make_env
+
+    cfg_path = pathlib.Path(__file__).resolve().parent / "configs" / \
+        f"DirGate_{variant}.yaml"
+    _, variant, cfg, _ = load_config(str(cfg_path))
+    cfg.checkpoint_interval = 10**12
+    env = make_env("SwarmACB-DirectionalGate-v0", variant=variant,
+                   num_envs=E, use_pallas=jax.default_backend() == "tpu")
+    tr = SeedParallelTrainer(env, cfg, list(range(S)))
+    es, obs, carry = tr._reset_all()
+    t0 = _time.perf_counter()
+    es, obs, carry, _ = tr.train_iteration(es, obs, carry)
+    compile_s = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        es, obs, carry, _ = tr.train_iteration(es, obs, carry)
+    dt = (_time.perf_counter() - t0) / iters
+    dec = cfg.horizon * E * env.num_agents
+    agg = S * dec / dt
+    log(f"[bench] seed-parallel {variant} S={S}×E={E}: {dt:.1f}s/iter, "
+        f"aggregate {agg:,.0f} decisions/s (compile+first {compile_s:.1f}s; "
+        f"full 120M-decision 10-seed unit ≈ "
+        f"{120e6 / (dec / dt) / 3600:.1f} h in ONE job)")
+    return agg
+
+
 def main():
     import jax
 
@@ -176,6 +218,12 @@ def main():
             bench_train_iteration(mixed_precision=True)
     except Exception as e:
         log(f"[bench] train-iteration comparison bench failed: {e!r}")
+    # seed-parallel run unit (round 5): aggregate matrix throughput
+    try:
+        if jax.default_backend() == "tpu":
+            bench_seed_parallel()
+    except Exception as e:
+        log(f"[bench] seed-parallel bench failed: {e!r}")
 
     result = {
         "metric": "env_steps_per_sec_per_chip",

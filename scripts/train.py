@@ -75,8 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Subset of 'qkvo': which RSA projection stages "
                         "take bf16 under --mixed_precision, or 'auto' "
                         "for the per-variant stages validated by "
-                        "full-budget curve overlays (VALIDATION.md "
-                        "round-4 bisection; see POCAConfig.mp_stages)")
+                        "full-budget curve overlays (VALIDATION.md; "
+                        "'auto' refuses variants with no validated "
+                        "placement; see POCAConfig.mp_stages)")
     p.add_argument("--use_pallas", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="Fused Pallas sensor/collision kernels for the env "
@@ -199,12 +200,22 @@ def main():
     if args.mp_stages is not None:
         if args.mp_stages == "auto":
             # per-variant bf16 stage placement validated by full-budget
-            # curve overlays (VALIDATION.md round-4 bisection): lily's
-            # reward deficit only appears when the scores (qk) and
-            # values/output (vo) bf16 rounding compound, while dandelion
-            # showed the opposite (qkvo in-band, qk below band)
-            cfg.mp_stages = {"lily": "qk", "cyclamen": "qk"}.get(
-                variant, "qkvo")
+            # curve overlays (VALIDATION.md bisection + round-5
+            # overlays): lily's reward deficit only appears when the
+            # scores (qk) and values/output (vo) bf16 rounding compound,
+            # while dandelion showed the opposite (qkvo in-band, qk
+            # below band). Variants absent from the map have NO
+            # validated placement — 'auto' refuses rather than guessing
+            # (a guess would wear a validated flag's clothes).
+            validated = {"dandelion": "qkvo", "lily": "qk",
+                         "cyclamen": "qk"}
+            if variant not in validated:
+                raise SystemExit(
+                    f"--mp_stages auto: no full-budget-validated bf16 "
+                    f"placement for '{variant}' (VALIDATION.md overlay "
+                    "table); pass an explicit subset of 'qkvo' to "
+                    "accept unvalidated numerics")
+            cfg.mp_stages = validated[variant]
         else:
             assert set(args.mp_stages) <= set("qkvo"), args.mp_stages
             cfg.mp_stages = args.mp_stages
