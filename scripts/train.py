@@ -252,20 +252,24 @@ def main():
     if args.data_parallel != "off":
         n = n_dev if args.data_parallel == "auto" else int(args.data_parallel)
         if n > 1:
-            if env.num_envs % n:
+            # with --seeds the mesh shards the SEED axis (validated in
+            # the seed-parallel branch below), not the arena batch
+            if args.seeds is None and env.num_envs % n:
                 raise SystemExit(
                     f"num_envs={env.num_envs} not divisible by mesh size {n}; "
                     "adjust --num_envs or --data_parallel")
             mesh = make_mesh(n)
-            print(f"[train] data-parallel mesh over {n} device(s): "
-                  f"{env.num_envs // n} arenas/device")
+            if args.seeds is None:
+                print(f"[train] data-parallel mesh over {n} device(s): "
+                      f"{env.num_envs // n} arenas/device")
 
     # ── Seed-parallel branch: S lanes vmapped into one program ─────
     if args.seeds is not None:
         seeds = _parse_seeds(args.seeds)
-        if mesh is not None:
-            raise SystemExit("--seeds is single-device for now; pass "
-                             "--data_parallel off")
+        if mesh is not None and len(seeds) % mesh.devices.size:
+            raise SystemExit(
+                f"{len(seeds)} seeds not divisible by mesh size "
+                f"{mesh.devices.size}; adjust --seeds or --data_parallel")
         from swarmacb_tpu.agents import SeedParallelTrainer
 
         log_base = cfg.log_dir.rstrip("/")
@@ -275,9 +279,12 @@ def main():
             writers = [make_writer(f"{log_base}_seed{s}") for s in seeds]
         cks = [Checkpointer(f"{ckpt_base}_seed{s}", keep=cfg.keep_checkpoints)
                for s in seeds]
-        trainer = SeedParallelTrainer(env, cfg, seeds, writers=writers)
+        trainer = SeedParallelTrainer(env, cfg, seeds, writers=writers,
+                                      mesh=mesh)
+        where = (f", seed axis sharded over {mesh.devices.size} devices"
+                 if mesh is not None else "")
         print(f"[train] seed-parallel: {len(seeds)} lanes "
-              f"({seeds}) × E={env.num_envs} arenas in one program")
+              f"({seeds}) × E={env.num_envs} arenas in one program{where}")
         if writers is not None:
             hp_text = "\n".join(f"{k}: {v}" for k, v in vars(cfg).items())
             for w in writers:

@@ -51,12 +51,31 @@ class SeedParallelTrainer:
     device by vmapping the fused train iteration over a seed axis."""
 
     def __init__(self, env: DirectionalGateEnv, cfg: Optional[POCAConfig],
-                 seeds: Sequence[int], writers: Optional[Sequence] = None):
+                 seeds: Sequence[int], writers: Optional[Sequence] = None,
+                 mesh=None):
+        """``mesh``: optional 1-D device mesh — shards the SEED axis over
+        devices (seeds/device = S / mesh size). Seed lanes are fully
+        independent, so this is collective-free data parallelism: unlike
+        the single-chip case (where the bandwidth-bound update makes
+        aggregate throughput flat in S, BENCH_NOTES round-5), sharded
+        seeds scale aggregate matrix throughput linearly with chips —
+        the natural multi-chip layout for the run unit. Single-process
+        multi-device for now (episode accounting reads full stats
+        host-side)."""
         cfg = cfg or POCAConfig()
         self.seeds = [int(s) for s in seeds]
         if len(set(self.seeds)) != len(self.seeds):
             raise ValueError(f"duplicate seeds: {self.seeds}")
         self.S = len(self.seeds)
+        self.mesh = mesh
+        if mesh is not None:
+            if jax.process_count() > 1:
+                raise ValueError("seed-parallel mesh is single-process "
+                                 "multi-device for now")
+            if self.S % mesh.devices.size:
+                raise ValueError(
+                    f"{self.S} seeds not divisible over "
+                    f"{mesh.devices.size} devices")
         # the base trainer supplies networks, schedules, minibatch
         # derivation and the fused iteration function; its own
         # train_state is unused (per-seed states live on self).
@@ -94,6 +113,16 @@ class SeedParallelTrainer:
         opt_state = jax.vmap(b.tx.init)(params)
         self.train_state = TrainState(params=params, opt_state=opt_state)
         self.keys = jnp.stack([k for _, k in inits])
+        if mesh is not None:
+            # shard every seed-stacked leaf on its leading S axis; XLA's
+            # SPMD partitioner then runs each device's seed lanes locally
+            # with zero collectives (nothing crosses the seed axis)
+            from ..parallel import mesh as meshlib
+
+            self.train_state = meshlib.shard_batch_pytree(self.train_state,
+                                                          mesh)
+            self.keys = jax.device_put(self.keys,
+                                       meshlib.batch_sharding(mesh))
 
         # one program: vmap the fused rollout+update over the seed axis.
         # lr/eps/beta are unbatched (identical across lockstep seeds).
@@ -185,6 +214,12 @@ class SeedParallelTrainer:
             carry = (jnp.zeros((self.S, B, m)), jnp.zeros((self.S, B, m)))
         else:
             carry = ()
+        if self.mesh is not None:
+            from ..parallel import mesh as meshlib
+
+            env_state = meshlib.shard_batch_pytree(env_state, self.mesh)
+            obs = jax.device_put(obs, meshlib.batch_sharding(self.mesh))
+            carry = meshlib.shard_batch_pytree(carry, self.mesh)
         return env_state, obs, carry
 
     def _schedules(self):

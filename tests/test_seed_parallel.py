@@ -184,6 +184,41 @@ class TestDivergenceGuard:
             tr.train(checkpointers=None, progress=False)
 
 
+class TestSeedMesh:
+    """Seed axis sharded over a device mesh: collective-free data
+    parallelism over lanes — the multi-chip layout of the run unit."""
+
+    def test_sharded_seed_axis_matches_unsharded(self):
+        from swarmacb_tpu.parallel import make_mesh
+
+        env = tiny_env("tulip")
+        cfg = tiny_cfg()
+        seeds = list(range(8))
+        mesh = make_mesh(8)
+
+        tr_m = SeedParallelTrainer(env, cfg, seeds, mesh=mesh)
+        es, obs, carry = tr_m._reset_all()
+        # seed-stacked leaves really are sharded over the mesh
+        leaf = jax.tree_util.tree_leaves(tr_m.train_state.params)[0]
+        assert len(leaf.sharding.device_set) == 8
+        es, obs, carry, m_mesh = tr_m.train_iteration(es, obs, carry)
+
+        tr_s = SeedParallelTrainer(env, cfg, seeds)
+        es2, obs2, carry2 = tr_s._reset_all()
+        es2, obs2, carry2, m_single = tr_s.train_iteration(es2, obs2, carry2)
+
+        for k in SCALAR_KEYS:
+            np.testing.assert_allclose(m_mesh[k], m_single[k],
+                                       rtol=2e-3, atol=1e-5, err_msg=k)
+
+    def test_indivisible_seed_count_rejected(self):
+        from swarmacb_tpu.parallel import make_mesh
+
+        env = tiny_env("tulip")
+        with pytest.raises(ValueError, match="divisible"):
+            SeedParallelTrainer(env, tiny_cfg(), [0, 1, 2], mesh=make_mesh(8))
+
+
 class TestGuards:
     def test_split_update_rejected(self):
         env = tiny_env("tulip")
