@@ -60,6 +60,7 @@ def test_fused_tail_grad_parity():
             err_msg=f"cotangent mismatch for {name}")
 
 
+@pytest.mark.slow
 def test_critic_fused_tail_matches_plain():
     """POCACritic.all_baselines with fused_tail=True (interpret mode off-TPU)
     must match the pure-XLA path: values and parameter gradients."""
@@ -90,6 +91,7 @@ def test_critic_fused_tail_matches_plain():
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow
 def test_fused_tail_odd_batch_sizes():
     """_pick_G handles B with no small divisor (grid of 1-group blocks)."""
     inp = _inputs(jax.random.PRNGKey(3), B=7, N=4, h=32)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas parity: minutes on a 1-core host
+
 from swarmacb_tpu.ops.cf_attention import cf_reference, fused_cf_attention
 
 

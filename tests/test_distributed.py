@@ -76,6 +76,7 @@ def test_mesh_matches_single_device_rollout():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_recurrent_runs():
     env, cfg = tiny("cyclamen", num_envs=8, recurrent=True, memory_size=8,
                     sequence_length=3, horizon=6)
@@ -83,6 +84,7 @@ def test_mesh_recurrent_runs():
     assert np.isfinite(m["policy_loss"])
 
 
+@pytest.mark.slow
 def test_mesh_continuous_runs():
     env, cfg = tiny("dandelion", num_envs=8)
     trainer, m = _iter(POCATrainer(env, cfg, mesh=make_mesh(8)))
@@ -95,6 +97,7 @@ def test_uneven_envs_rejected():
         POCATrainer(env, cfg, mesh=make_mesh(8))
 
 
+@pytest.mark.slow
 def test_mesh_two_devices():
     env, cfg = tiny(num_envs=4)
     trainer, m = _iter(POCATrainer(env, cfg, mesh=make_mesh(2)))
@@ -103,6 +106,7 @@ def test_mesh_two_devices():
 
 
 
+@pytest.mark.slow
 def test_mesh_split_update_matches_fused():
     """The bounded-program split path under the mesh reproduces the fused
     shard_map update: same per-shard RNG streams (fold_in + per-epoch
@@ -122,6 +126,7 @@ def test_mesh_split_update_matches_fused():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_mesh_split_update_recurrent_matches_fused():
     """Split path × mesh × recurrent — the cyclamen-at-scale combination
     that round 1 excluded (VERDICT r1 weak #3)."""

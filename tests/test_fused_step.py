@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas parity: minutes on a 1-core host
+
 from swarmacb_tpu.config.env_cfg import DirectionalGateEnvCfg
 from swarmacb_tpu.env.directional_gate import DirectionalGateEnv
 from swarmacb_tpu.env.lanes import (lanes_to_state, obs_from_tiles,

@@ -138,7 +138,9 @@ def _run_case_lanes(name):
     }
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n.endswith("_long")
+    else n for n in sorted(CASES)])
 def test_golden_trajectory(name):
     path = FIXTURE_DIR / f"golden_{name}.npz"
     if not path.exists():

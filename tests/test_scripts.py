@@ -31,6 +31,7 @@ def tmp_run(tmp_path_factory):
     return tmp_path_factory.mktemp("run")
 
 
+@pytest.mark.slow
 def test_train_and_play_cli(tmp_run):
     ckpt_dir = tmp_run / "ckpt"
     r = _run(

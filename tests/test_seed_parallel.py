@@ -62,6 +62,7 @@ def run_parallel(env, cfg, seeds, iters):
 
 
 class TestLaneParity:
+    @pytest.mark.slow
     def test_lanes_match_serial_runs(self):
         """Each vmapped lane reproduces the serial trainer for its seed
         (same init-key threading, same rollout/update RNG streams)."""
@@ -88,6 +89,7 @@ class TestLaneParity:
         log_std = tr.train_state.params["actor"]["log_std"]
         assert log_std.shape[0] == 2  # per-seed leading axis
 
+    @pytest.mark.slow
     def test_recurrent_variant(self):
         """cyclamen: LSTM actor carry + BPTT window update under vmap."""
         env = tiny_env("cyclamen")
@@ -96,6 +98,7 @@ class TestLaneParity:
         for k in SCALAR_KEYS:
             assert np.isfinite(par[0][k]).all(), k
 
+    @pytest.mark.slow
     def test_recurrent_lane_matches_serial(self):
         env = tiny_env("cyclamen")
         cfg = tiny_cfg(recurrent=True, sequence_length=4)
@@ -107,6 +110,7 @@ class TestLaneParity:
 
 
 class TestCheckpointContract:
+    @pytest.mark.slow
     def test_per_seed_save_resume(self, tmp_path):
         """Per-seed checkpoints are serial-compatible; try_resume restores
         every lane at the newest common step."""
@@ -151,6 +155,7 @@ class TestCheckpointContract:
 
 
 class TestDivergenceGuard:
+    @pytest.mark.slow
     def test_nan_lane_is_quarantined_others_continue(self, tmp_path):
         """A NaN lane is dropped from the alive mask (and quarantined)
         while the remaining lanes finish the run."""
@@ -171,6 +176,7 @@ class TestDivergenceGuard:
         assert (cks[1].dir / "poca_final" / "metadata.json").exists()
         assert not (cks[0].dir / "poca_final").exists()
 
+    @pytest.mark.slow
     def test_all_dead_raises(self):
         env = tiny_env("tulip")
         cfg = tiny_cfg(total_timesteps=2 * 8 * 2 * 20)
@@ -188,6 +194,7 @@ class TestSeedMesh:
     """Seed axis sharded over a device mesh: collective-free data
     parallelism over lanes — the multi-chip layout of the run unit."""
 
+    @pytest.mark.slow
     def test_sharded_seed_axis_matches_unsharded(self):
         from swarmacb_tpu.parallel import make_mesh
 

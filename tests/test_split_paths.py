@@ -3,6 +3,7 @@ rollouts, and a large-E smoke (VERDICT r1 next-round #7)."""
 
 import jax
 import numpy as np
+import pytest
 
 from helpers import assert_params_close as _params_close
 from helpers import run_iters as _run_iters
@@ -10,6 +11,7 @@ from helpers import tiny_cfg, tiny_env
 from swarmacb_tpu.agents import POCATrainer
 
 
+@pytest.mark.slow
 def test_split_update_recurrent_matches_fused():
     """The split path now covers the recurrent (BPTT window) update —
     same window groups, same RNG/permutation streams as the fused
@@ -29,6 +31,7 @@ def test_split_update_recurrent_matches_fused():
         np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_segmented_rollout_matches_unsegmented():
     """rollout_segments splits the horizon scan into sequential device
     programs with the PRNG key carried across — trajectories, and hence
@@ -51,6 +54,7 @@ def test_rollout_segments_must_divide_horizon():
         POCATrainer(tiny_env(), tiny_cfg(horizon=10, rollout_segments=3))
 
 
+@pytest.mark.slow
 def test_mixed_precision_trainer_close_to_f32():
     """mixed_precision keeps the critic's counterfactual tiles in bf16 —
     same param tree, finite losses, and per-iteration metrics close to
@@ -66,6 +70,7 @@ def test_mixed_precision_trainer_close_to_f32():
         np.testing.assert_allclose(mbf[k], m32[k], rtol=0.05, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_large_e_training_smoke():
     """E=512 trains through the bounded-program path (split update +
     segmented rollout) — the large-E shape round 1 couldn't run."""

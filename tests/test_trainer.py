@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from helpers import run_iters as _run_iters
 from helpers import tiny_cfg, tiny_env
@@ -34,6 +35,7 @@ def test_recurrent_trainer_runs():
     assert np.isfinite(m["entropy"])
 
 
+@pytest.mark.slow
 def test_recurrent_uneven_windows():
     """horizon=10, seq_len=4 → window groups {4: [0,4], 2: [8]}."""
     trainer = POCATrainer(tiny_env("cyclamen"),
@@ -209,6 +211,7 @@ def test_stale_async_failure_never_aborts_final_or_quarantine(tmp_path):
     assert (tmp_path / "poca_final" / "metadata.json").exists()
 
 
+@pytest.mark.slow
 def test_chunked_accumulation_non_divisible():
     """A minibatch size with no divisor under the cap (prime) is handled by
     a weighted tail chunk — exact math, no silent full-batch fallback
@@ -254,6 +257,7 @@ def test_linear_schedules_decay():
     assert float(beta1) < float(beta0)
 
 
+@pytest.mark.slow
 def test_chunked_grad_accumulation_matches_full_batch():
     """accum_chunk_groups splits oversize minibatches into equal chunks with
     averaged gradients — must reproduce the full-batch update (identical
@@ -271,6 +275,7 @@ def test_chunked_grad_accumulation_matches_full_batch():
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_chunked_grad_accumulation_recurrent():
     """The chunking path also covers the BPTT sequence batches."""
     cfg = tiny_cfg(recurrent=True, memory_size=8, sequence_length=4,
@@ -281,6 +286,7 @@ def test_chunked_grad_accumulation_recurrent():
         assert np.isfinite(m[k])
 
 
+@pytest.mark.slow
 def test_split_update_matches_fused():
     """split_update_groups runs one device program per minibatch with the
     same RNG streams / permutations / update order as the fused program —

@@ -411,6 +411,7 @@ def test_update_parity_feedforward_continuous(ref_pkg, tmp_path):
     _run_case(ref_pkg, tmp_path, variant="dandelion", discrete=False, seed=1)
 
 
+@pytest.mark.slow
 def test_update_parity_recurrent(ref_pkg, tmp_path):
     _run_case(ref_pkg, tmp_path, variant="cyclamen", discrete=True,
               recurrent=True, T=8, seed=2)
