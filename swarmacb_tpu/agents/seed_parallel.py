@@ -80,14 +80,17 @@ class SeedParallelTrainer:
         # derivation and the fused iteration function; its own
         # train_state is unused (per-seed states live on self).
         # accum_chunk_groups is an ACTIVATION-memory cap per gradient
-        # pass (poca_cfg.py) — under vmap every lane materializes its own
-        # chunk activations simultaneously, so the per-lane cap must
-        # shrink by S to keep the same HBM footprint (S=8 at the default
-        # 1024 OOMs a 16 GB v5e chip; S×(1024/S) chunks are the same
-        # total matmul rows per pass, so throughput is unchanged)
+        # pass (poca_cfg.py) — under vmap every lane on a device
+        # materializes its own chunk activations simultaneously, so the
+        # per-lane cap must shrink by lanes-per-DEVICE to keep the same
+        # per-chip HBM footprint (S=8 unsharded at the default 1024 OOMs
+        # a 16 GB v5e chip; lanes×(cap/lanes) chunks are the same total
+        # matmul rows per pass, so throughput is unchanged)
+        lanes_per_dev = self.S // (mesh.devices.size if mesh is not None
+                                   else 1)
         chunk = cfg.accum_chunk_groups
         if chunk > 0:
-            chunk = max(1, chunk // self.S)
+            chunk = max(1, chunk // max(1, lanes_per_dev))
         self.base = POCATrainer(
             env, dataclasses.replace(cfg, seed=self.seeds[0],
                                      accum_chunk_groups=chunk),
