@@ -204,11 +204,15 @@ def main():
             # overlays): lily's reward deficit only appears when the
             # scores (qk) and values/output (vo) bf16 rounding compound,
             # while dandelion showed the opposite (qkvo in-band, qk
-            # below band). Variants absent from the map have NO
-            # validated placement — 'auto' refuses rather than guessing
-            # (a guess would wear a validated flag's clothes).
+            # below band); the round-5 tulip/daisy qkvo overlays both
+            # ESCAPED into their f32 escaped modes (20.45 / 23.86 —
+            # VALIDATION.md), so qkvo is their validated placement.
+            # Variants absent from the map have NO validated placement —
+            # 'auto' refuses rather than guessing (a guess would wear a
+            # validated flag's clothes).
             validated = {"dandelion": "qkvo", "lily": "qk",
-                         "cyclamen": "qk"}
+                         "cyclamen": "qk", "tulip": "qkvo",
+                         "daisy": "qkvo"}
             if variant not in validated:
                 raise SystemExit(
                     f"--mp_stages auto: no full-budget-validated bf16 "
