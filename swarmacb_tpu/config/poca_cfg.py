@@ -125,9 +125,15 @@ class POCAConfig:
     # auto-reset, decision_period sub-stepping) under the kernel's
     # documented numerics mode; RNG draw shapes are (N, Ep) lanes, so
     # trajectories are a distributionally-identical different sample.
-    # None = auto (currently OFF: measured SPS-neutral at the E=16
-    # operating point where the update dominates — BENCH_NOTES.md
-    # round-5 "rollout under the trainer"); True/False forces.
+    # None = auto (OFF — the measured rejection at the E=16 operating
+    # point: train SPS 160.7k lanes vs 159.5k composed (noise; the
+    # bandwidth-bound update dominates the iteration) while
+    # compile+first is 251 s lanes vs 58 s composed — the Mosaic kernel
+    # compile costs more than the composed rollout's XLA fusions at
+    # small E. The fused step's wins are at bench scale: 1.23x and a
+    # 4x compile cut at E=32768 where the 500-step composed scan is the
+    # compile monster. BENCH_NOTES.md round-5 "the rollout under the
+    # trainer"); True/False forces.
     fused_env_step: "bool | None" = None
 
     # Mixed precision: bf16 MATMUL OPERANDS in the critic — the RSA
