@@ -46,7 +46,9 @@ def load_curves(csv_dir: pathlib.Path):
             name = f"DirGate_{m.group(1)}_seed0"
         else:
             continue
-        m = re.match(r"DirGate_(\w+?)(?:_(bf16|ft|mp|E\d+))?_seed(\d+)$", name)
+        m = re.match(
+            r"DirGate_(\w+?)(?:_(bf16|ft|mp|mpqk|mpvo|mpqkvo|sp|E\d+))?"
+            r"_seed(\d+)$", name)
         if not m or m.group(1) not in out:
             continue
         tag = m.group(2)
@@ -56,8 +58,11 @@ def load_curves(csv_dir: pathlib.Path):
             rows = list(csv.reader(fh))[1:]
         steps = [int(r[0]) / 1e6 for r in rows]
         vals = [float(r[-1]) for r in rows]
-        out[m.group(1)]["mp" if tag == "mp" else "f32"].append(
-            (f"seed {m.group(3)}", steps, vals))
+        # sp = seed-parallel lanes of the same f32 configuration (the
+        # 10-lane run unit); mp* = bf16-operand overlays incl. the
+        # per-stage bisection placements
+        cls = "mp" if tag in ("mp", "mpqk", "mpvo", "mpqkvo") else "f32"
+        out[m.group(1)][cls].append((f"seed {m.group(3)}", steps, vals))
     return out
 
 
