@@ -17,6 +17,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's floor is jit compile
+# time (~30 distinct trainer/env programs × 10-25 s each on a 1-core
+# host). The CPU backend serializes executables, so warm runs skip
+# nearly all of it (measured: core suite 686 s cold → see README).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".cache", "swarmacb",
+                     "jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass  # older jax without these config names
+
 import pathlib
 import sys
 

@@ -139,7 +139,10 @@ def _run_case_lanes(name):
 
 
 @pytest.mark.parametrize("name", [
-    pytest.param(n, marks=pytest.mark.slow) if n.endswith("_long")
+    pytest.param(n, marks=pytest.mark.slow)
+    # _long: 1200-step episodes; tulip/cyclamen: env-path-identical to
+    # lily (see CASES note) — their pins only need the thorough tier
+    if n.endswith("_long") or n in ("tulip", "cyclamen")
     else n for n in sorted(CASES)])
 def test_golden_trajectory(name):
     path = FIXTURE_DIR / f"golden_{name}.npz"

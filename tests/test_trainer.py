@@ -47,6 +47,7 @@ def test_recurrent_uneven_windows():
     assert np.isfinite(m["policy_loss"])
 
 
+@pytest.mark.slow
 def test_params_change_and_deterministic():
     t1 = POCATrainer(tiny_env("tulip"), tiny_cfg())
     p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
