@@ -300,6 +300,9 @@ def main():
         elif args.checkpoint:
             raise SystemExit("--seeds resumes only via --checkpoint latest "
                              "(per-seed dirs)")
+        if args.profile:
+            print("[train] NOTE: --profile is not wired for seed-parallel "
+                  "runs; profile a serial run of one seed instead")
         trainer.train(checkpointers=cks)
         return
 
